@@ -1,0 +1,142 @@
+package graft
+
+/** DuckDB oracle SQL mirroring the library's semantics over the same parquet
+  * tables. The corpus CTE must stay column-for-column identical to
+  * [[Tables.corpus]] — the driver hash-compares every query against these.
+  */
+object Oracle {
+
+  /** SQL twin of [[Tables.corpus]]. */
+  val corpusCte: String =
+    """WITH corpus0 AS (
+      |  SELECT doc_id AS file_id, source AS repo,
+      |         concat('doc_', doc_id, '.txt') AS path, 'c0' AS "commit",
+      |         lang, text AS content
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'mirror', concat('doc_', doc_id, '.txt'),
+      |         'c0', lang, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'mirror2', concat('doc_', doc_id, '.txt'),
+      |         'c0', lang, text FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'fork', concat('doc_', doc_id, '.txt'),
+      |         'c0', lang, substr(text, 1, CAST(n_chars - 8 AS INT))
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, 'foil', concat('doc_', doc_id, '.txt'),
+      |         'c0', lang, substr(text, 1, CAST(n_chars - 1 AS INT)) || 'X'
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), corpus AS (
+      |  SELECT *, CAST(length(content) AS BIGINT) AS size FROM corpus0
+      |), dupmembers AS (
+      |  SELECT c.file_id, c.repo, c.path, c."commit", c.lang, c.content,
+      |         c.size, s.hash, s.set_size
+      |  FROM corpus c
+      |  JOIN (SELECT size, sha256(content) AS hash, count(*) AS set_size
+      |        FROM corpus WHERE size >= 1
+      |        GROUP BY 1, 2 HAVING count(*) >= 2) s
+      |    ON c.size = s.size AND sha256(c.content) = s.hash
+      |), dupsets AS (
+      |  SELECT size AS each_size, sha256(content) AS hash,
+      |         count(*) AS set_size,
+      |         string_agg(CAST(file_id AS VARCHAR), ',' ORDER BY file_id)
+      |           AS members
+      |  FROM corpus WHERE size >= 1
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |)
+      |""".stripMargin
+
+  private def c(sql: String): String = corpusCte + sql
+
+  val sql: Map[String, String] = Map(
+    "q_corpus" -> c(
+      """SELECT file_id, repo, path, "commit", lang, content, size
+        |FROM corpus""".stripMargin),
+
+    "q_size_prune" -> c(
+      """SELECT size, count(*) AS n_files FROM corpus WHERE size >= 1
+        |GROUP BY size HAVING count(*) >= 2""".stripMargin),
+
+    "q_partial_hash" -> c(
+      """SELECT size, sha256(substr(content, 1, 64)) AS prefix_hash,
+        |       count(*) AS n_files
+        |FROM corpus
+        |WHERE size >= 1 AND size IN (
+        |  SELECT size FROM corpus WHERE size >= 1
+        |  GROUP BY size HAVING count(*) >= 2)
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+
+    "q_scan_dups" -> c(
+      """SELECT file_id, repo, path, "commit", size, hash, set_size
+        |FROM dupmembers""".stripMargin),
+
+    "q_dup_sets" -> c(
+      "SELECT each_size, hash, set_size, members FROM dupsets"),
+
+    "q_report" -> c(
+      """SELECT hash, each_size, set_size, each_size * set_size AS total,
+        |       members
+        |FROM dupsets ORDER BY total, hash""".stripMargin),
+
+    "q_report_min" -> c(
+      """SELECT hash, each_size, set_size, each_size * set_size AS total,
+        |       members
+        |FROM dupsets WHERE each_size * set_size >= 600
+        |ORDER BY total, hash""".stripMargin),
+
+    "q_uniques" -> c(
+      """SELECT file_id, repo, path, size FROM corpus WHERE size >= 1
+        |QUALIFY count(*) OVER (PARTITION BY size, sha256(content)) = 1"""
+        .stripMargin),
+
+    "q_dups" -> c(
+      "SELECT file_id, repo, path, size, hash, set_size FROM dupmembers"),
+
+    "q_file_lookup" -> c(
+      """SELECT d.file_id, d.repo, d.path,
+        |       CASE WHEN d.file_id = 0 THEN 'SELF' ELSE 'DUP' END AS status
+        |FROM dupmembers d
+        |JOIN (SELECT size, hash FROM dupmembers WHERE file_id = 0) p
+        |  ON d.size = p.size AND d.hash = p.hash""".stripMargin),
+
+    "q_rmsh" -> c(
+      """SELECT s.keep_id, d.file_id AS remove_id, d.repo, d.path
+        |FROM dupmembers d
+        |JOIN (SELECT size, hash, min(file_id) AS keep_id FROM dupmembers
+        |      GROUP BY 1, 2) s
+        |  ON d.size = s.size AND d.hash = s.hash
+        |WHERE d.file_id <> s.keep_id""".stripMargin),
+
+    "q_refresh" -> (corpusCte.trim.dropRight(1) +
+      """), surv AS (SELECT * FROM dupmembers WHERE repo <> 'mirror'),
+        |s2 AS (SELECT size, hash, count(*) AS set_size FROM surv
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT surv.file_id, surv.repo, surv.path, surv."commit", surv.size,
+        |       surv.hash, s2.set_size
+        |FROM surv JOIN s2 ON surv.size = s2.size AND surv.hash = s2.hash"""
+        .stripMargin),
+
+    "q_validate" -> c(
+      """SELECT size, hash, count(DISTINCT content) AS n_distinct_contents
+        |FROM dupmembers GROUP BY 1, 2
+        |HAVING count(DISTINCT content) > 1""".stripMargin),
+
+    "q_hardlink_unique" -> c(
+      """SELECT file_id, repo, path, size FROM (
+        |  SELECT file_id, repo, path, size, sha256(content) AS h
+        |  FROM corpus WHERE size >= 1)
+        |QUALIFY row_number() OVER (PARTITION BY path, h ORDER BY file_id) = 1"""
+        .stripMargin),
+
+    "q_stats" -> c(
+      """SELECT
+        |  (SELECT count(*) FROM corpus WHERE size >= 1) AS files_scanned,
+        |  (SELECT CAST(sum(size) AS BIGINT) FROM corpus WHERE size >= 1)
+        |    AS bytes_scanned,
+        |  (SELECT count(*) FROM dupmembers) AS dup_files,
+        |  (SELECT count(*) FROM dupsets) AS dup_sets,
+        |  (SELECT CAST(sum(size) AS BIGINT) FROM dupmembers) AS dup_bytes"""
+        .stripMargin)
+  )
+}

@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exact.{DedupConfig, ExactDedup}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each queries() entry is one operator from SURVEY.md §2, backed by the
+  * graft.* library; Oracle.sql holds the DuckDB twin for the hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val cfg = DedupConfig()
+
+  /** Flagship: the full exact-dedup cascade + report on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ExactDedup.report(Tables.corpus(spark, "/root/testdata/sf0.001"), cfg)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — input model (SURVEY §1.2): the files table itself —
+    "q_corpus" -> ((s, dir) => Tables.corpus(s, dir)
+      .select("file_id", "repo", "path", "commit", "lang", "content", "size")),
+
+    // — exact tier: the 3-stage cascade (SURVEY §2.3 A1..A5) —
+    "q_size_prune" -> ((s, dir) =>
+      ExactDedup.candidateSizes(Tables.corpus(s, dir), cfg)),
+    "q_partial_hash" -> ((s, dir) =>
+      ExactDedup.partialHashGroups(Tables.corpus(s, dir), cfg)),
+    "q_scan_dups" -> ((s, dir) =>
+      ExactDedup.duplicates(Tables.corpus(s, dir), cfg)),
+    "q_dup_sets" -> ((s, dir) =>
+      ExactDedup.duplicateSets(Tables.corpus(s, dir), cfg)),
+
+    // — query surface (SURVEY §2.1 S7/S8, §2.6 O1, §2.7, §3.2/3.3) —
+    "q_report" -> ((s, dir) =>
+      ExactDedup.report(Tables.corpus(s, dir), cfg)),
+    "q_report_min" -> ((s, dir) =>
+      ExactDedup.report(Tables.corpus(s, dir), cfg)
+        .filter(col("total") >= 600)),
+    "q_uniques" -> ((s, dir) =>
+      ExactDedup.uniques(Tables.corpus(s, dir), cfg)),
+    "q_dups" -> ((s, dir) =>
+      ExactDedup.dups(Tables.corpus(s, dir), cfg)),
+    "q_file_lookup" -> ((s, dir) =>
+      ExactDedup.fileLookup(Tables.corpus(s, dir), 0L, cfg)),
+    "q_rmsh" -> ((s, dir) =>
+      ExactDedup.rmsh(Tables.corpus(s, dir), cfg)),
+    "q_refresh" -> ((s, dir) => {
+      val corpus = Tables.corpus(s, dir)
+      ExactDedup.refresh(
+        ExactDedup.duplicates(corpus, cfg),
+        corpus.filter(col("repo") =!= "mirror"))
+    }),
+    "q_validate" -> ((s, dir) =>
+      ExactDedup.validate(Tables.corpus(s, dir), cfg)),
+    "q_hardlink_unique" -> ((s, dir) =>
+      ExactDedup.hardlinkUnique(Tables.corpus(s, dir), cfg)),
+    "q_stats" -> ((s, dir) =>
+      ExactDedup.stats(Tables.corpus(s, dir), cfg))
+  )
+
+  def oracleSql: Map[String, String] = Oracle.sql
 }

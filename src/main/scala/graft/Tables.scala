@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables plus the deterministic
+  * source-file corpus every dedup stage operates on.
+  *
+  * The corpus mirrors the reference's input shape (an Iceberg-like table
+  * `files(repo, path, commit, lang, content)` — see SURVEY.md §1.2 and the
+  * reference's scan tuple at /root/reference/src/scan.c:202-378) and plants
+  * the duplicate structure the reference's test fixtures exercise
+  * (/root/reference/tests/files*, FIXTURES.md):
+  *
+  *   - base      : one row per document (unique content)
+  *   - mirror    : every 3rd doc copied verbatim  -> exact-dup pairs
+  *   - mirror2   : every 9th doc copied again     -> exact-dup triples
+  *   - fork      : every 5th doc with an 8-char suffix truncation
+  *                 -> near-duplicate (high shingle Jaccard, NOT exact)
+  *   - foil      : every 7th doc, same length and same first-64-char prefix
+  *                 but last char flipped -> survives the size bucket AND the
+  *                 partial-hash stage, split only by the full hash (the
+  *                 reference's `file3not*` / files4 scenario,
+  *                 /root/reference/tests/files4)
+  *
+  * The construction is pure column arithmetic on `documents`, so the DuckDB
+  * oracle rebuilds the identical corpus from the same parquet (see
+  * [[Oracle.corpusSql]]) — every stage of the pipeline is hash-checkable.
+  */
+object Tables {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The files corpus: (file_id, repo, path, commit, lang, content, size).
+    * `size = length(content)` plays the role of `st_size`
+    * (/root/reference/src/sizetree.c:347-392). Deterministic per input row —
+    * stable across partitionings and parallelism levels.
+    */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+
+    def variant(filterMod: Int, idOffset: Long, repo: String,
+                content: org.apache.spark.sql.Column): DataFrame =
+      d.filter(col("doc_id") % filterMod === 0)
+        .select(
+          (col("doc_id") + idOffset).as("file_id"),
+          lit(repo).as("repo"),
+          concat(lit("doc_"), col("doc_id"), lit(".txt")).as("path"),
+          lit("c0").as("commit"),
+          col("lang"),
+          content.as("content"))
+
+    val base = d.select(
+      col("doc_id").as("file_id"),
+      col("source").as("repo"),
+      concat(lit("doc_"), col("doc_id"), lit(".txt")).as("path"),
+      lit("c0").as("commit"),
+      col("lang"),
+      col("text").as("content"))
+
+    val mirror  = variant(3, 1000000L, "mirror", col("text"))
+    val mirror2 = variant(9, 2000000L, "mirror2", col("text"))
+    val fork    = variant(5, 3000000L, "fork",
+      expr("substr(text, 1, cast(n_chars - 8 as int))"))
+    val foil    = variant(7, 4000000L, "foil",
+      expr("substr(text, 1, cast(n_chars - 1 as int)) || 'X'"))
+
+    base.unionAll(mirror).unionAll(mirror2).unionAll(fork).unionAll(foil)
+      .withColumn("size", length(col("content")).cast("long"))
+  }
+}

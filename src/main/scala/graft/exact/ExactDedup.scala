@@ -1,0 +1,215 @@
+package graft.exact
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Configuration of the exact-dedup cascade, mirroring the reference's knobs:
+  *   - `minSize`   — minimum content size scanned; default 1 so empty files
+  *                   are ignored (/root/reference/src/main.c:66,350-351,
+  *                   docs/design.md:68-76)
+  *   - `prefixLen` — first-K-chars partial-hash budget, the analogue of
+  *                   `--firstblocksize × --firstblocks` = 512 KiB
+  *                   (/root/reference/src/main.c:67-68,408-412); sized for
+  *                   document-scale content here, configurable for file-scale
+  *   - `includeHidden` — the `--hidden` flag (/root/reference/src/scan.c:246-249)
+  */
+final case class DedupConfig(
+    minSize: Long = 1L,
+    prefixLen: Int = 64,
+    includeHidden: Boolean = false)
+
+/** dupd's exact-duplicate detection as a staged, Spark-native cascade.
+  *
+  * The reference is a 3-stage cascaded group-by with early pruning — group by
+  * an ever-more-expensive key, drop singleton groups at each stage
+  * (SURVEY.md §2.3; size tree /root/reference/src/sizetree.c:163-208, round-1
+  * partial hash /root/reference/src/hashers.c:181-257, full hash + publish
+  * /root/reference/src/hashlist.c:342-427). Here each stage is a hash
+  * aggregate on a cheap key followed by a semi-join of the survivors:
+  *
+  *   stage 1  groupBy(size)          — touches ONLY the size column (Parquet
+  *            column pruning: unique-size files never have content read, the
+  *            exact analogue of "files of unique size are never opened")
+  *   stage 2  groupBy(size, prefix_hash) on stage-1 survivors
+  *   stage 3  groupBy(size, full_hash) → duplicate sets (count ≥ 2)
+  *
+  * Scale design (100 TB / 10^12 rows):
+  *   - `content` is NEVER shuffled: hashes are computed map-side and only
+  *     (size, hash, identity) columns cross stage boundaries.
+  *   - stage results are (key, count) aggregates — orders of magnitude
+  *     smaller than the input — joined back broadcast-when-small (AQE decides;
+  *     partial/map-side aggregation bounds the shuffle to distinct keys).
+  *   - the flat per-member output (`duplicates`) avoids collect_list hot keys
+  *     for million-member vendored-file sets; the set-level view
+  *     (`duplicateSets`) is derived from it for report-scale data.
+  */
+object ExactDedup {
+
+  /** F1 — hidden-file filter: any path segment starting with '.'
+    * (/root/reference/src/scan.c:246-249, docs/design.md:53-64). */
+  def notHidden(path: Column): Column =
+    !(path.startsWith(".") || path.contains("/."))
+
+  /** F1 + F2 applied up front; Catalyst pushes both into the scan. */
+  def scanFilter(files: DataFrame, cfg: DedupConfig): DataFrame = {
+    val f = files.filter(col("size") >= cfg.minSize)
+    if (cfg.includeHidden) f else f.filter(notHidden(col("path")))
+  }
+
+  /** Stage 1 (A1/A2): sizes with ≥ 2 candidates. Aggregates on the size
+    * column alone — at 10^12 rows this is a long-only shuffle of distinct
+    * sizes (~10^6), and files of unique size never get content read. */
+  def candidateSizes(files: DataFrame, cfg: DedupConfig): DataFrame =
+    scanFilter(files, cfg)
+      .groupBy("size").agg(count(lit(1)).as("n_files"))
+      .filter(col("n_files") >= 2)
+
+  /** Stage-1 survivors: semi-join against the (small) candidate-size set. */
+  def sizeSurvivors(files: DataFrame, cfg: DedupConfig): DataFrame =
+    scanFilter(files, cfg)
+      .join(candidateSizes(files, cfg).select("size"), Seq("size"), "left_semi")
+
+  private def prefixHash(cfg: DedupConfig): Column =
+    sha2(substring(col("content"), 1, cfg.prefixLen), 256)
+
+  /** Stage 2 (A3): (size, partial-hash) groups with ≥ 2 members among
+    * stage-1 survivors — the first-K-bytes prune. */
+  def partialHashGroups(files: DataFrame, cfg: DedupConfig): DataFrame =
+    sizeSurvivors(files, cfg)
+      .select(col("size"), prefixHash(cfg).as("prefix_hash"))
+      .groupBy("size", "prefix_hash").agg(count(lit(1)).as("n_files"))
+      .filter(col("n_files") >= 2)
+
+  /** Stage 2 survivors with both hashes materialized map-side.
+    * Only (identity, size, hashes) flows into later shuffles — content is
+    * projected away before any exchange. */
+  def hashedSurvivors(files: DataFrame, cfg: DedupConfig): DataFrame = {
+    val staged = sizeSurvivors(files, cfg)
+      .withColumn("prefix_hash", prefixHash(cfg))
+      .withColumn("hash", sha2(col("content"), 256))
+      .select("file_id", "repo", "path", "commit", "size", "prefix_hash", "hash")
+    staged.join(
+      partialHashGroups(files, cfg).select("size", "prefix_hash"),
+      Seq("size", "prefix_hash"), "left_semi")
+  }
+
+  /** Stage 3 (A4/A5): confirmed duplicates, one row per member — columns
+    * (file_id, repo, path, commit, size, hash, set_size). The flat form is
+    * the scale path (no giant arrays on hot hashes). */
+  def duplicates(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val survivors = hashedSurvivors(files, cfg)
+    val sets = survivors.groupBy("size", "hash")
+      .agg(count(lit(1)).as("set_size"))
+      .filter(col("set_size") >= 2)
+    survivors.join(sets, Seq("size", "hash"))
+      .select("file_id", "repo", "path", "commit", "size", "hash", "set_size")
+  }
+
+  /** A5 set-level publication — one row per duplicate set with sorted member
+    * ids (the relational form of the reference's `\x1C`-joined `paths` TEXT,
+    * /root/reference/src/dbops.c:420-452). */
+  def duplicateSets(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
+    duplicates(files, cfg)
+      .groupBy("size", "hash")
+      .agg(
+        count(lit(1)).cast("long").as("set_size"),
+        array_join(transform(array_sort(collect_list(col("file_id"))),
+          _.cast("string")), ",").as("members"))
+      .withColumnRenamed("size", "each_size")
+
+  /** A8/O1 — the `dupd report` projection: total duplicated bytes per set,
+    * ascending (worst offenders last, /root/reference/src/report.c:288-386). */
+  def report(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
+    duplicateSets(files, cfg)
+      .select(col("hash"), col("each_size"), col("set_size"),
+        (col("each_size") * col("set_size")).as("total"), col("members"))
+      .orderBy(col("total"), col("hash"))
+
+  /** §2.7 set operations — `uniques`: files NOT in any duplicate set
+    * (anti-join of the snapshot against confirmed dups,
+    * /root/reference/src/report.c:485-542). */
+  def uniques(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
+    scanFilter(files, cfg)
+      .join(duplicates(files, cfg).select("file_id"), Seq("file_id"), "left_anti")
+      .select("file_id", "repo", "path", "size")
+
+  /** `dups`: files that ARE members of a duplicate set (semi-join). */
+  def dups(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
+    duplicates(files, cfg).select("file_id", "repo", "path", "size", "hash", "set_size")
+
+  /** J1/J2 — `dupd file <path>` lookup with re-verification semantics:
+    * claimed members are re-evaluated against the CURRENT snapshot (content
+    * re-hashed now, not trusted from scan time) —
+    * /root/reference/src/report.c:402-460. Output: the set members of the
+    * probed file with status DUP for verified-identical members. */
+  def fileLookup(files: DataFrame, probeFileId: Long,
+                 cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val d = duplicates(files, cfg)
+    val probe = d.filter(col("file_id") === probeFileId).select("size", "hash")
+    d.join(broadcast(probe), Seq("size", "hash"))
+      .select(col("file_id"), col("repo"), col("path"),
+        when(col("file_id") === probeFileId, "SELF").otherwise("DUP").as("status"))
+  }
+
+  /** S8 — rm-shell projection: keep the first (lowest-id) member of each
+    * set, list the rest for removal (/root/reference/src/report.c:549-600). */
+  def rmsh(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val d = duplicates(files, cfg)
+    val keep = d.groupBy("size", "hash").agg(min("file_id").as("keep_id"))
+    d.join(keep, Seq("size", "hash"))
+      .filter(col("file_id") =!= col("keep_id"))
+      .select(col("keep_id"), col("file_id").as("remove_id"), col("repo"), col("path"))
+  }
+
+  /** §2.9 `refresh` — incremental batch re-check: drop set members no longer
+    * in the current snapshot, keep only sets with ≥ 2 survivors
+    * (/root/reference/src/refresh.c:37-143). `snapshot` is the current file
+    * table (possibly with rows deleted since the scan). */
+  def refresh(scanned: DataFrame, snapshot: DataFrame): DataFrame = {
+    val surviving = scanned.join(
+      snapshot.select("file_id").distinct(), Seq("file_id"), "left_semi")
+    val counts = surviving.groupBy("size", "hash")
+      .agg(count(lit(1)).as("set_size")).filter(col("set_size") >= 2)
+    surviving.drop("set_size").join(counts, Seq("size", "hash"))
+      .select("file_id", "repo", "path", "commit", "size", "hash", "set_size")
+  }
+
+  /** `validate` analogue — every member of every emitted set must be
+    * byte-identical (/root/reference/tests/validate.pl:29-53): returns sets
+    * whose members' contents diverge; empty result == valid. */
+  def validate(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
+    duplicates(files, cfg)
+      .join(files.select("file_id", "content"), Seq("file_id"))
+      .groupBy("size", "hash")
+      .agg(countDistinct(col("content")).as("n_distinct_contents"))
+      .filter(col("n_distinct_contents") > 1)
+
+  /** F8/J3 — the `--hardlink-is-unique` policy: rows sharing an identity
+    * (same logical file reachable via several links) collapse to one physical
+    * instance before dedup (/root/reference/src/readlist.c:269-297). In the
+    * table model identity = (path, content-hash); keep the lowest file_id. */
+  def hardlinkUnique(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scanFilter(files, cfg)
+      .withColumn("h", sha2(col("content"), 256))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("path"), col("h")).orderBy(col("file_id"))))
+      .filter(col("rn") === 1)
+      .select("file_id", "repo", "path", "size")
+  }
+
+  /** A9/S9 — scan counters as a metrics row (the reference's ~60 counters,
+    * /root/reference/src/stats.h:33-125, reduced to the semantic ones). */
+  def stats(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val scanned = scanFilter(files, cfg)
+    val d = duplicates(files, cfg)
+    val totals = scanned.agg(
+      count(lit(1)).as("files_scanned"),
+      sum("size").as("bytes_scanned"))
+    val dupTotals = d.agg(
+      count(lit(1)).as("dup_files"),
+      countDistinct(col("hash"), col("size")).as("dup_sets"),
+      sum("size").as("dup_bytes"))
+    totals.crossJoin(dupTotals)
+  }
+}
