@@ -1,0 +1,159 @@
+package graft
+
+/** DuckDB oracle twins for the near-duplicate tier. Every hash is plain
+  * modular arithmetic (< 2^63 everywhere) so DuckDB reproduces the custom
+  * Catalyst expressions bit for bit — see graft.functions.HashConstants.
+  */
+object OracleNear {
+
+  /** CTE chain appended to Oracle.corpusCte. Mirrors, stage for stage:
+    * NearDup.representatives / shingleKeys / MinHashSignature / bands /
+    * lshPairs / SimHash / simhashPairs / verifiedPairs / ConnectedComponents.
+    */
+  val nearCtes: String =
+    """reps AS (
+      |  SELECT * FROM (SELECT *, sha256(content) AS h FROM corpus
+      |                 WHERE size >= 5)
+      |  QUALIFY row_number() OVER (PARTITION BY size, h ORDER BY file_id) = 1
+      |), shingles AS (
+      |  SELECT DISTINCT file_id,
+      |    (CAST(ascii(substr(content, CAST(i AS INT)    , 1)) AS BIGINT) * 4294967296 +
+      |     CAST(ascii(substr(content, CAST(i AS INT) + 1, 1)) AS BIGINT) * 16777216 +
+      |     CAST(ascii(substr(content, CAST(i AS INT) + 2, 1)) AS BIGINT) * 65536 +
+      |     CAST(ascii(substr(content, CAST(i AS INT) + 3, 1)) AS BIGINT) * 256 +
+      |     CAST(ascii(substr(content, CAST(i AS INT) + 4, 1)) AS BIGINT)) % 2147483647 AS x
+      |  FROM (SELECT file_id, content,
+      |               unnest(generate_series(1, length(content) - 4)) AS i
+      |        FROM reps)
+      |), perms AS (
+      |  SELECT j, (j + 1) * 2654435761 % 2147483646 + 1 AS a,
+      |         (j + 1) * 2654435497 % 2147483647 AS b
+      |  FROM (SELECT unnest(generate_series(0, 127)) AS j)
+      |), sigs AS (
+      |  SELECT file_id, j, min((a * x + b) % 2147483647) AS sig
+      |  FROM shingles CROSS JOIN perms GROUP BY file_id, j
+      |), bands AS (
+      |  SELECT file_id, CAST(j // 8 AS BIGINT) AS band_idx,
+      |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
+      |  FROM sigs GROUP BY file_id, j // 8
+      |), lsh_pairs AS (
+      |  SELECT DISTINCT l.file_id AS a, r.file_id AS b
+      |  FROM bands l JOIN bands r
+      |    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+      |  WHERE l.file_id < r.file_id
+      |), tokh AS (
+      |  SELECT file_id,
+      |    CAST(ascii(substr(tok || '________', 1, 1)) % 256 AS BIGINT) * 1 +
+      |    CAST(ascii(substr(tok || '________', 2, 1)) % 256 AS BIGINT) * 131 +
+      |    CAST(ascii(substr(tok || '________', 3, 1)) % 256 AS BIGINT) * 17161 +
+      |    CAST(ascii(substr(tok || '________', 4, 1)) % 256 AS BIGINT) * 2248091 +
+      |    CAST(ascii(substr(tok || '________', 5, 1)) % 256 AS BIGINT) * 294499921 +
+      |    CAST(ascii(substr(tok || '________', 6, 1)) % 256 AS BIGINT) * 38579489651 +
+      |    CAST(ascii(substr(tok || '________', 7, 1)) % 256 AS BIGINT) * 5053913144281 +
+      |    CAST(ascii(substr(tok || '________', 8, 1)) % 256 AS BIGINT) * 662062621900811 AS hh
+      |  FROM (SELECT file_id, unnest(string_split(content, ' ')) AS tok
+      |        FROM reps)
+      |  WHERE tok <> ''
+      |), simbits AS (
+      |  SELECT file_id, b,
+      |    CASE WHEN sum(((hh >> CAST(b AS INT)) & 1) * 2 - 1) > 0
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM tokh, (SELECT unnest(generate_series(0, 59)) AS b)
+      |  GROUP BY file_id, b
+      |), simhashes AS (
+      |  SELECT file_id,
+      |         CAST(sum(bit * (1::BIGINT << CAST(b AS INT))) AS BIGINT)
+      |           AS simhash
+      |  FROM simbits GROUP BY file_id
+      |), simchunks AS (
+      |  SELECT file_id, simhash,
+      |         c, (simhash >> CAST(c * 15 AS INT)) & 32767 AS chunk
+      |  FROM simhashes, (SELECT unnest(generate_series(0, 3)) AS c)
+      |), sim_pairs AS (
+      |  SELECT a, b FROM (
+      |    SELECT DISTINCT l.file_id AS a, r.file_id AS b,
+      |           l.simhash AS sim_a, r.simhash AS sim_b
+      |    FROM simchunks l JOIN simchunks r
+      |      ON l.c = r.c AND l.chunk = r.chunk
+      |    WHERE l.file_id < r.file_id)
+      |  WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      |), cand AS (
+      |  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB 1.0 stops
+      |  -- deduplicating top-level UNIONs in non-recursive CTEs
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT a, b FROM lsh_pairs UNION ALL SELECT a, b FROM sim_pairs)
+      |), shc AS (
+      |  SELECT file_id, count(*) AS n FROM shingles GROUP BY file_id
+      |), inter AS (
+      |  SELECT c.a, c.b, count(*) AS ni
+      |  FROM cand c
+      |  JOIN shingles s1 ON s1.file_id = c.a
+      |  JOIN shingles s2 ON s2.file_id = c.b AND s1.x = s2.x
+      |  GROUP BY c.a, c.b
+      |), verified AS (
+      |  SELECT a, b, jaccard FROM (
+      |    SELECT i.a, i.b,
+      |           CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+      |    FROM inter i
+      |    JOIN shc ca ON ca.file_id = i.a
+      |    JOIN shc cb ON cb.file_id = i.b)
+      |  WHERE jaccard >= 0.7
+      |), verts AS (
+      |  SELECT file_id FROM reps
+      |), ee AS (
+      |  SELECT DISTINCT s, d FROM (
+      |    SELECT a AS s, b AS d FROM verified
+      |    UNION ALL SELECT b, a FROM verified
+      |    UNION ALL SELECT file_id, file_id FROM verts)
+      |), reach(s, d) AS (
+      |  SELECT s, d FROM ee
+      |  UNION SELECT reach.s, ee.d FROM reach JOIN ee ON reach.d = ee.s
+      |), clusters AS (
+      |  SELECT s AS file_id, min(d) AS cluster_id FROM reach GROUP BY s
+      |)
+      |""".stripMargin
+
+  /** Full prefix: the corpus CTEs + near CTEs under WITH RECURSIVE (the
+    * marker is harmless for the non-recursive queries and required for the
+    * transitive-closure clusters oracle). */
+  private def n(sql: String): String =
+    "WITH RECURSIVE " + Oracle.corpusCte.trim.stripPrefix("WITH ") + ",\n" +
+      nearCtes + sql
+
+  val sql: Map[String, String] = Map(
+    "q_reps" -> n(
+      "SELECT file_id, repo, path, size FROM reps"),
+
+    "q_shingle_count" -> n(
+      "SELECT file_id, n AS n_shingles FROM shc"),
+
+    "q_minhash_bands" -> n(
+      "SELECT file_id, band_idx, band_key FROM bands"),
+
+    "q_lsh_pairs" -> n(
+      "SELECT a, b FROM lsh_pairs"),
+
+    "q_simhash" -> n(
+      "SELECT file_id, simhash FROM simhashes"),
+
+    "q_simhash_pairs" -> n(
+      "SELECT a, b FROM sim_pairs"),
+
+    "q_neardup_pairs" -> n(
+      "SELECT a, b, jaccard FROM verified"),
+
+    "q_neardup_clusters" -> n(
+      "SELECT file_id, cluster_id FROM clusters"),
+
+    "q_all_clusters" -> n(
+      """SELECT c.file_id, cl.cluster_id
+        |FROM (SELECT file_id, size, sha256(content) AS h FROM corpus
+        |      WHERE size >= 5) c
+        |JOIN (SELECT size, h, min(file_id) AS rep_id
+        |      FROM (SELECT file_id, size, sha256(content) AS h FROM corpus
+        |            WHERE size >= 5)
+        |      GROUP BY size, h) r
+        |  ON c.size = r.size AND c.h = r.h
+        |JOIN clusters cl ON cl.file_id = r.rep_id""".stripMargin)
+  )
+}

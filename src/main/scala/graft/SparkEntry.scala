@@ -56,8 +56,38 @@ object SparkEntry {
     "q_hardlink_unique" -> ((s, dir) =>
       ExactDedup.hardlinkUnique(Tables.corpus(s, dir), cfg)),
     "q_stats" -> ((s, dir) =>
-      ExactDedup.stats(Tables.corpus(s, dir), cfg))
+      ExactDedup.stats(Tables.corpus(s, dir), cfg)),
+
+    // — near-dup tier (north_rule: MinHash-LSH + SimHash + LCS + CC) —
+    "q_reps" -> ((s, dir) =>
+      near.NearDup.representatives(Tables.corpus(s, dir))
+        .select("file_id", "repo", "path", "size")),
+    "q_shingle_count" -> ((s, dir) =>
+      near.NearDup.signatures(Tables.corpus(s, dir))
+        .select(col("file_id"),
+          size(col("shingles")).cast("long").as("n_shingles"))),
+    "q_minhash_bands" -> ((s, dir) =>
+      near.NearDup.bands(Tables.corpus(s, dir))),
+    "q_lsh_pairs" -> ((s, dir) =>
+      near.NearDup.lshPairs(Tables.corpus(s, dir))),
+    "q_simhash" -> ((s, dir) =>
+      near.NearDup.simhashes(Tables.corpus(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) =>
+      near.NearDup.simhashPairs(Tables.corpus(s, dir))),
+    "q_neardup_pairs" -> ((s, dir) =>
+      near.NearDup.verifiedPairs(Tables.corpus(s, dir))),
+    "q_neardup_clusters" -> ((s, dir) =>
+      near.NearDup.clusters(Tables.corpus(s, dir))),
+    "q_all_clusters" -> ((s, dir) =>
+      near.NearDup.allFileClusters(Tables.corpus(s, dir))),
+    // suffix-array LCS verification — not SQL-expressible, rows-only check;
+    // exactness is asserted against a brute-force DP oracle in LcsSpec.
+    "q_lcs_pairs" -> ((s, dir) => {
+      val corpus = Tables.corpus(s, dir)
+      near.Lcs.verify(near.NearDup.verifiedPairs(corpus), corpus)
+        .select("a", "b", "jaccard", "lcs_len", "lcs_ratio")
+    })
   )
 
-  def oracleSql: Map[String, String] = Oracle.sql
+  def oracleSql: Map[String, String] = Oracle.sql ++ OracleNear.sql
 }

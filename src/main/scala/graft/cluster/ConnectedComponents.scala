@@ -1,0 +1,52 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative hash-min label propagation over
+  * DataFrame joins — the clustering step of the near-dup tier (north_rule;
+  * no GraphX/RDD per input_hint). Each vertex starts labeled with its own
+  * id; every iteration each vertex takes the min label in its closed
+  * neighborhood; converges in O(component diameter) rounds.
+  *
+  * Scale notes: labels monotonically decrease, so convergence is detected by
+  * the (cheap, aggregate-only) sum of labels reaching a fixpoint.
+  * `localCheckpoint` truncates plan lineage each round — without it the
+  * iterated join tree grows exponentially and Catalyst analysis dominates.
+  * Near-dup components are small (dup families), so rounds stay in single
+  * digits; for adversarial long-chain graphs swap in large-star/small-star.
+  */
+object ConnectedComponents {
+
+  /** @param vertices one column `file_id`
+    * @param edges    two columns `a`, `b` (undirected, any orientation)
+    * @return (file_id, cluster_id) — cluster_id = min file_id reachable
+    */
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = vertices.sparkSession
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = vertices.select(col("file_id"), col("file_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val propagated = e
+        .join(labels.withColumnRenamed("file_id", "src"), Seq("src"))
+        .select(col("dst").as("file_id"), col("cluster_id"))
+      val next = labels.union(propagated)
+        .groupBy("file_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val s = next.agg(sum("cluster_id")).head().getLong(0)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels
+  }
+}

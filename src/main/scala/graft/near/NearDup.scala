@@ -1,0 +1,176 @@
+package graft.near
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.exact.{DedupConfig, ExactDedup}
+import graft.functions.NearDupFunctions
+
+/** Near-dup tier configuration — the north_rule config: 5-gram shingles,
+  * 128-perm MinHash, LSH b=16 bands × r=8 rows, SimHash (60 effective bits,
+  * 4 × 15-bit Hamming chunks, distance ≤ 3), Jaccard verification ≥ 0.7.
+  */
+final case class NearConfig(
+    shingleK: Int = 5,
+    numPerms: Int = 128,
+    bands: Int = 16,
+    rowsPerBand: Int = 8,
+    simBits: Int = 60,
+    simChunks: Int = 4,
+    hammingMax: Int = 3,
+    jaccardThreshold: Double = 0.7,
+    /** LSH buckets larger than this are dropped (0 = unlimited). At 10^12
+      * rows a giant bucket is an exact-dup family the exact tier already
+      * resolved; capping bounds the within-bucket pair blow-up. */
+    maxBucket: Int = 0) {
+  require(bands * rowsPerBand == numPerms, "bands × rowsPerBand must equal numPerms")
+  require(simChunks * (simBits / simChunks) == simBits)
+}
+
+/** The mandated near-duplicate tier (BASELINE.json north_rule): shingling →
+  * MinHash-LSH + SimHash candidate generation → Jaccard/LCS verification.
+  * No reference analogue (dupd is exact-only); SURVEY.md §2.4/§2.10 maps the
+  * design: all similarity joins are equi-joins after key expansion.
+  *
+  * Scale shape: signatures are computed per-row map-side (one custom
+  * codegen'd expression, no shuffle); only (file_id, band keys) — ~16 short
+  * rows per file — enter the LSH shuffle. Candidate pairs are verified with
+  * bounded per-row work (shingle sets of the two members), never by
+  * all-pairs comparison.
+  */
+object NearDup {
+
+  /** 5-gram shingle keys as a distinct array<long> per row. Pure built-in
+    * higher-order functions (codegen-friendly, no UDF): each shingle packs
+    * its 5 codepoints big-endian (base 256) and reduces mod P, matching the
+    * oracle's SQL formula digit for digit. */
+  def shingleKeys(content: String, k: Int = 5): Column = {
+    require(k == 5, "shingle packing is specialized to k=5")
+    expr(
+      s"""array_distinct(transform(sequence(1, length($content) - 4), i ->
+         |  (cast(ascii(substr($content, i    , 1)) as bigint) * 4294967296 +
+         |   cast(ascii(substr($content, i + 1, 1)) as bigint) * 16777216 +
+         |   cast(ascii(substr($content, i + 2, 1)) as bigint) * 65536 +
+         |   cast(ascii(substr($content, i + 3, 1)) as bigint) * 256 +
+         |   cast(ascii(substr($content, i + 4, 1)) as bigint)) % 2147483647))""".stripMargin)
+  }
+
+  /** Near-dup input: one representative per exact-duplicate set (the exact
+    * tier already resolved identical content — re-shingling every member of
+    * a million-copy vendored file would be pure waste at scale), restricted
+    * to rows long enough to shingle. Only (size, hash, file_id) is shuffled
+    * to pick representatives; content stays put until the semi-join. */
+  def representatives(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+    val scanned = ExactDedup.scanFilter(files, DedupConfig())
+      .filter(col("size") >= cfg.shingleK)
+    val repIds = scanned
+      .select(col("size"), sha2(col("content"), 256).as("hash"), col("file_id"))
+      .groupBy("size", "hash").agg(min("file_id").as("file_id"))
+      .select("file_id")
+    scanned.join(repIds, Seq("file_id"), "left_semi")
+  }
+
+  /** Representatives with shingles + MinHash signature, computed map-side. */
+  def signatures(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
+    representatives(files, cfg)
+      .withColumn("shingles", shingleKeys("content", cfg.shingleK))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", NearDupFunctions.minhashSignature(col("shingles"), cfg.numPerms))
+
+  /** LSH banding: signature → (band_idx, band_key) rows; band_key is the
+    * comma-joined r signature values (collision-free, no overflow games). */
+  def bands(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+    val r = cfg.rowsPerBand
+    signatures(files, cfg)
+      .select(col("file_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${cfg.bands - 1}), b ->
+             |  array_join(transform(slice(sig, b * $r + 1, $r),
+             |             v -> cast(v as string)), ','))""".stripMargin)))
+      .select(col("file_id"), col("pos").cast("long").as("band_idx"),
+        col("col").as("band_key"))
+  }
+
+  /** LSH candidate pairs: equi-join within (band_idx, band_key) buckets,
+    * a < b, deduped across bands. `maxBucket` caps pathological buckets. */
+  def lshPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+    var b = bands(files, cfg)
+    if (cfg.maxBucket > 0) {
+      val ok = b.groupBy("band_idx", "band_key").count()
+        .filter(col("count") <= cfg.maxBucket).drop("count")
+      b = b.join(ok, Seq("band_idx", "band_key"), "left_semi")
+    }
+    val l = b.select(col("band_idx"), col("band_key"), col("file_id").as("a"))
+    val r = b.select(col("band_idx"), col("band_key"), col("file_id").as("b"))
+    l.join(r, Seq("band_idx", "band_key")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** SimHash per representative (custom codegen'd expression, map-side). */
+  def simhashes(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
+    representatives(files, cfg)
+      .select(col("file_id"),
+        NearDupFunctions.simhash(col("content"), cfg.simBits).as("simhash"))
+
+  /** SimHash candidate pairs by the pigeonhole trick: split the hash into
+    * `simChunks` chunks; Hamming distance ≤ hammingMax (< simChunks) implies
+    * at least one chunk matches exactly → equi-join per chunk, then the
+    * exact Hamming filter. */
+  def simhashPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+    val w = cfg.simBits / cfg.simChunks
+    val mask = (1L << w) - 1
+    val chunked = simhashes(files, cfg)
+      .select(col("file_id"), col("simhash"),
+        posexplode(expr(
+          s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
+      .select(col("file_id"), col("simhash"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+    val l = chunked.select(col("chunk_idx"), col("chunk"),
+      col("file_id").as("a"), col("simhash").as("sim_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"),
+      col("file_id").as("b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("chunk_idx", "chunk")).filter(col("a") < col("b"))
+      .select("a", "b", "sim_a", "sim_b").distinct()
+      .filter(expr(s"bit_count(sim_a ^ sim_b) <= ${cfg.hammingMax}"))
+      .select("a", "b")
+  }
+
+  /** Candidate union (LSH ∪ SimHash) with exact shingle-Jaccard verification.
+    * Verification is two bounded-size equi-joins (shingle arrays of each
+    * member), never an all-pairs pass. Output: (a, b, jaccard). */
+  def verifiedPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+    val cands = lshPairs(files, cfg).union(simhashPairs(files, cfg)).distinct()
+    val sh = signatures(files, cfg).select(col("file_id"), col("shingles"))
+    cands
+      .join(sh.select(col("file_id").as("a"), col("shingles").as("sh_a")), Seq("a"))
+      .join(sh.select(col("file_id").as("b"), col("shingles").as("sh_b")), Seq("b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Near-dup clusters over representatives: connected components of the
+    * verified-pair graph; singleton reps cluster with themselves. Output:
+    * (file_id, cluster_id). */
+  def clusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+    val verts = representatives(files, cfg).select("file_id")
+    val edges = verifiedPairs(files, cfg).select("a", "b")
+    graft.cluster.ConnectedComponents.run(verts, edges)
+  }
+
+  /** Expand rep-level clusters back to every file: exact-dup members inherit
+    * their representative's near-dup cluster. Output (file_id, cluster_id)
+    * for every scannable file. */
+  def allFileClusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+    val scanned = ExactDedup.scanFilter(files, DedupConfig())
+      .filter(col("size") >= cfg.shingleK)
+      .select(col("file_id"), col("size"), sha2(col("content"), 256).as("hash"))
+    val repOf = scanned.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
+    val repClusters = clusters(files, cfg)
+      .select(col("file_id").as("rep_id"), col("cluster_id"))
+    scanned.join(repOf, Seq("size", "hash"))
+      .join(repClusters, Seq("rep_id"))
+      .select("file_id", "cluster_id")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.near.Lcs
+
+/** Suffix-array LCS vs brute-force DP — the exactness proof for the
+  * verification stage the oracle can't express in SQL. (Seeded random
+  * property loop; the scalatest/scalacheck bridge isn't on the offline
+  * classpath, so forAll is hand-rolled.) */
+class LcsSpec extends AnyFunSuite {
+
+  test("known cases") {
+    assert(Lcs.lcsLength("", "") == 0)
+    assert(Lcs.lcsLength("abc", "") == 0)
+    assert(Lcs.lcsLength("abc", "abc") == 3)
+    assert(Lcs.lcsLength("abcdef", "zabcy") == 3) // "abc"
+    assert(Lcs.lcsLength("xyabcz", "qabcde") == 3)
+    assert(Lcs.lcsLength("aaaa", "aa") == 2)
+    assert(Lcs.lcsLength("abab", "baba") == 3)
+    assert(Lcs.lcsLength("hello world", "world hello") == 5) // "world"
+  }
+
+  private def randomCheck(seed: Long, rounds: Int, maxLen: Int,
+                          alphabet: String): Unit = {
+    val rnd = new scala.util.Random(seed)
+    def gen(): String =
+      Array.fill(rnd.nextInt(maxLen + 1))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    (1 to rounds).foreach { _ =>
+      val x = gen(); val y = gen()
+      assert(Lcs.lcsLength(x, y) == Lcs.lcsLengthBrute(x, y), s"x='$x' y='$y'")
+    }
+  }
+
+  test("matches brute-force DP on random small-alphabet strings") {
+    randomCheck(seed = 42L, rounds = 300, maxLen = 60, alphabet = "abc")
+  }
+
+  test("matches brute-force DP on random wide-alphabet strings") {
+    randomCheck(seed = 7L, rounds = 200, maxLen = 120,
+      alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 ")
+  }
+
+  test("near-identical long strings") {
+    val base = "the quick brown fox jumps over the lazy dog " * 10
+    val mutated = base.substring(0, 200) + "XX" + base.substring(202)
+    assert(Lcs.lcsLength(base, mutated) == Lcs.lcsLengthBrute(base, mutated))
+  }
+}
