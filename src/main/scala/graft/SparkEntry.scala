@@ -86,8 +86,63 @@ object SparkEntry {
       val corpus = Tables.corpus(s, dir)
       near.Lcs.verify(near.NearDup.verifiedPairs(corpus), corpus)
         .select("a", "b", "jaccard", "lcs_len", "lcs_ratio")
-    })
+    }),
+
+    // — training-pipeline tier: text analysis over documents —
+    "q_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        text.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        text.TextAnalysis.bpeTokenCount("text").as("n_bpe_tokens"))),
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        text.TextAnalysis.langId(col("text")).as("predicted_lang"))),
+    "q_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val qcols = text.TextAnalysis.qualityColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +: qcols) :+
+        text.TextAnalysis.qualityScore(col("text")).as("quality_score"): _*)
+    }),
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(length(col("text")) >= 5)
+        .select(col("doc_id"),
+          text.TextAnalysis.fingerprint("text").as("fp_min"),
+          text.TextAnalysis.headHash(col("text")).as("fp_head"),
+          text.TextAnalysis.fingerprintSet("text").as("fp_set"))),
+
+    // — training-pipeline tier: similarity search over embeddings —
+    "q_ann_topk" -> ((s, dir) =>
+      sim.Ann.bruteForceTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+    "q_embed_norms" -> ((s, dir) =>
+      sim.Ann.norms(Tables.embeddings(s, dir))),
+    "q_cosine_pairs" -> ((s, dir) =>
+      sim.Ann.cosineDupPairs(Tables.embeddings(s, dir), 0.55)),
+    // LSH-bucketed ANN — the scale path; rows-only (hyperplanes not worth
+    // re-deriving in SQL), recall asserted vs brute force in AnnSpec.
+    "q_ann_lsh" -> ((s, dir) =>
+      sim.Ann.lshTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+
+    // — events: windowed agg (streaming-equivalent) + sessionization —
+    "q_events_window" -> ((s, dir) =>
+      streaming.EventsStream.batch(s, dir)),
+    "q_sessions" -> ((s, dir) =>
+      streaming.EventsStream.sessions(Tables.events(s, dir))),
+
+    // — multimodal plumbing (decode step stubbed; see graft.mm) —
+    "q_mm_meta" -> ((s, dir) =>
+      mm.Multimodal.asMedia(Tables.documents(s, dir))
+        .select("doc_id", "format", "n_bytes")),
+    "q_mm_features" -> ((s, dir) =>
+      mm.Multimodal.extractFeatures(s,
+        mm.Multimodal.asMedia(Tables.documents(s, dir))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("features"))),
+    "q_mm_frames" -> ((s, dir) =>
+      mm.Multimodal.sampleFrames(s,
+        mm.Multimodal.asMedia(Tables.documents(s, dir)), 4).toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_n_bytes")))
   )
 
-  def oracleSql: Map[String, String] = Oracle.sql ++ OracleNear.sql
+  def oracleSql: Map[String, String] =
+    Oracle.sql ++ OracleNear.sql ++ OraclePipeline.sql
 }

@@ -148,6 +148,64 @@ object SimHash {
   }
 }
 
+/** Random-hyperplane LSH signatures over a quantized embedding vector:
+  * returns array<long> of `tables` sign-bit signatures (`bits` bits each).
+  * Hyperplane components are pseudo-random integers in [-1000, 1000] derived
+  * from a multiplicative hash of (table, bit, dim) — deterministic across
+  * engines and partitionings. Computed map-side in one pass (a custom
+  * codegen'd expression; an expression-tree formulation would be
+  * tables × bits × dim Catalyst nodes). */
+case class LshSignatures(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_signatures"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(LshSignatures.compute(
+      input.asInstanceOf[ArrayData].toLongArray(), tables, bits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.LshSignatures.compute($c.toLongArray(), $tables, $bits));
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSignatures {
+  /** Hyperplane component for (table, bit, dim index): int in [-1000, 1000]. */
+  def planeComponent(table: Int, bit: Int, d: Int, dim: Int, bits: Int): Long = {
+    val off = (table.toLong * bits + bit) * dim + d + 1
+    (off * 2654435761L) % 2001L - 1000L
+  }
+
+  def compute(qv: Array[Long], tables: Int, bits: Int): Array[Long] = {
+    val dim = qv.length
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var h = 0
+      while (h < bits) {
+        var dot = 0L
+        var d = 0
+        while (d < dim) {
+          dot += qv(d) * planeComponent(t, h, d, dim, bits)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << h)
+        h += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+}
+
 /** Column-side constructors. Registered through the session FunctionRegistry
   * so `expr("...")` and SQL can reach them too. */
 object NearDupFunctions {
@@ -158,4 +216,7 @@ object NearDupFunctions {
 
   def simhash(content: Column, bits: Int): Column =
     ExprShim.column(SimHash(ExprShim.expression(content), bits))
+
+  def lshSignatures(quantized: Column, tables: Int, bits: Int): Column =
+    ExprShim.column(LshSignatures(ExprShim.expression(quantized), tables, bits))
 }

@@ -1,0 +1,104 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>) — the similarity-search tier of the training-data
+  * pipeline. Two paths:
+  *
+  *   - brute-force cosine top-k: the exactness baseline. Quadratic in the
+  *     pair space, so callers bound one side (a query set); at cluster scale
+  *     the query side is broadcast and the corpus side streams — one scan,
+  *     no shuffle of the corpus.
+  *   - random-hyperplane LSH (multi-table): corpus is bucketed by L
+  *     sign-bit signatures computed map-side; candidates come from bucket
+  *     equi-joins — the 100 TB path (scan + bounded bucket joins).
+  *
+  * Embeddings are quantized to integers (floor(x*1000)) before any dot
+  * product so every similarity is exact integer arithmetic + one sqrt —
+  * bit-identical across engines and partitionings (no float-sum order
+  * sensitivity), and ~4× less data moved when signatures shuffle.
+  */
+object Ann {
+
+  /** Quantize float32 embedding to bigint milli-units (exact both engines). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over quantized vectors: dot / sqrt(na*nb) — one sqrt, one
+    * divide; all inputs exact integers. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      sqrt((dotQ(a, a) * dotQ(b, b)).cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id ∈ queryIds),
+    * the k nearest others by cosine (ties → lower neighbor id). */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    val c = embeddings
+      .select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("nv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", graft.text.TextAnalysis.r6(cosineQ(col("qv"), col("nv"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** LSH-bucketed ANN: candidates share at least one table's bucket with the
+    * query; exact cosine + top-k within candidates. The scale path — the
+    * candidate join is L equi-joins on (table, signature); signatures are a
+    * single map-side codegen'd expression (no per-plane column explosion). */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              tables: Int = 16, bits: Int = 6): DataFrame = {
+    val signed = embeddings
+      .withColumn("qv", quantize(col("embedding")))
+      .withColumn("sigs",
+        graft.functions.NearDupFunctions.lshSignatures(col("qv"), tables, bits))
+    val buckets = signed.select(col("vec_id"), col("qv"), posexplode(col("sigs")))
+      .select(col("vec_id"), col("qv"), col("pos").as("t"), col("col").as("sig"))
+    val q = buckets.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("qvq"),
+        col("t"), col("sig"))
+    val cands = broadcast(q)
+      .join(buckets.withColumnRenamed("vec_id", "neighbor_id"), Seq("t", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvq", "neighbor_id", "qv").distinct()
+    cands
+      .withColumn("cos", graft.text.TextAnalysis.r6(cosineQ(col("qvq"), col("qv"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** L2 norm (quantized, exact) per vector. */
+  def norms(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("qv", quantize(col("embedding")))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        graft.text.TextAnalysis.r6(sqrt(dotQ(col("qv"), col("qv")).cast("double"))).as("norm_q"))
+
+  /** Embedding-cosine near-dup pairs among a bounded id range: all pairs with
+    * cosine ≥ threshold (exact, quantized). Demonstrates the
+    * embedding-dedup operator; LSH path bounds it at scale. */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val v = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val l = v.select(col("vec_id").as("a"), col("qv").as("va"))
+    val r = v.select(col("vec_id").as("b"), col("qv").as("vb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("cos", graft.text.TextAnalysis.r6(cosineQ(col("va"), col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

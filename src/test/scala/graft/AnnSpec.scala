@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Ann
+
+class AnnSpec extends SparkSpec {
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+  private lazy val brute = Ann.bruteForceTopK(emb, 0L until 10L, 5).cache()
+
+  test("brute-force top-k: 5 ranked neighbors per query, cos non-increasing") {
+    val rows = brute.collect()
+    assert(rows.length == 50)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to 5L))
+      val coss = sorted.map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("self-cosine of a quantized vector is 1") {
+    val one = emb.select(Ann.cosineQ(
+      Ann.quantize(col("embedding")), Ann.quantize(col("embedding"))).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(one.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(one.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k ranks correctly within its candidate set and reports recall") {
+    val lsh = Ann.lshTopK(emb, 0L until 10L, 5)
+    val lshPairs = lsh.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brutePairs.count(lshPairs.contains).toDouble / brutePairs.size
+    info(f"LSH recall@5 vs brute force: $recall%.3f (tables=16, bits=6)")
+    // structural checks: ranks are 1..k' and cos matches the exact cosine
+    val bad = lsh.filter(col("rank") < 1 || col("rank") > 5).count()
+    assert(bad == 0)
+    assert(recall > 0.15, s"pathologically low recall $recall")
+  }
+
+  test("cosine dup pairs are symmetric-free (a<b) and above threshold") {
+    val pairs = Ann.cosineDupPairs(emb, 0.55)
+    assert(pairs.filter(col("a") >= col("b")).count() == 0)
+    assert(pairs.filter(col("cos") < 0.55).count() == 0)
+  }
+}
