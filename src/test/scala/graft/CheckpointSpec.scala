@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.exact.{DedupConfig, ExactDedup}
+import graft.state.Checkpoints
+
+/** North-rule resumability: kill/skip partitions, re-run, identical final
+  * clusters; lineage + per-stage row/byte metrics persisted. */
+class CheckpointSpec extends SparkSpec {
+  private val cfg = DedupConfig()
+  private lazy val corpus = Tables.corpus(spark, sf).cache()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_ckpt").toString
+
+  test("checkpointed scan equals the direct pipeline") {
+    val root = freshRoot()
+    val ck = Checkpoints.checkpointedDuplicates(spark, corpus, root, nBuckets = 4, cfg)
+    val direct = ExactDedup.duplicates(corpus, cfg)
+    assert(ck.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(ck).count() == 0)
+  }
+
+  test("interrupted run resumes: only missing buckets are recomputed") {
+    val root = freshRoot()
+    // simulate a kill after 2 of 4 buckets
+    Checkpoints.checkpointedDuplicates(spark, corpus, root, 4, cfg,
+      onlyBuckets = Some(Set(0, 1)))
+    val m1 = Checkpoints.readMetrics(spark, root).collect()
+    assert(m1.length == 2)
+    // resume: full run completes the remaining buckets without redoing 0/1
+    val resumed = Checkpoints.checkpointedDuplicates(spark, corpus, root, 4, cfg)
+    val m2 = Checkpoints.readMetrics(spark, root)
+    assert(m2.count() == 4)
+    // buckets 0/1 keep their original finish timestamps (not recomputed)
+    val firstTs = m1.map(r => r.getInt(r.fieldIndex("bucket")) ->
+      r.getLong(r.fieldIndex("finished_at"))).toMap
+    val afterTs = m2.collect().map(r => r.getInt(r.fieldIndex("bucket")) ->
+      r.getLong(r.fieldIndex("finished_at"))).toMap
+    assert(firstTs.forall { case (b, ts) => afterTs(b) == ts })
+    val direct = ExactDedup.duplicates(corpus, cfg)
+    assert(resumed.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(resumed).count() == 0)
+  }
+
+  test("metrics carry stage lineage and per-bucket rows/bytes") {
+    val root = freshRoot()
+    Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)
+    val m = Checkpoints.readMetrics(spark, root)
+    assert(m.filter(col("lineage").contains("exact:v1")).count() == 2)
+    val totalRows = m.agg(sum("rows")).head().getLong(0)
+    assert(totalRows == ExactDedup.duplicates(corpus, cfg).count())
+    assert(m.filter(col("wall_ms") < 0).count() == 0)
+  }
+}
