@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query timed at local[cpus] on
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout. Extra headline fields:
+  * exact-dedup files/sec, and (unless SPARK_GRAFT_SKIP_SCALING=1) the
+  * N→4N local-parallelism scaling evidence required by the north rule.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,37 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // deterministic order; caches cleared between queries so each is
+    // measured cold and the persisted near-dup intermediates don't leak
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline: exact-dedup scan throughput (files/sec over the corpus)
+    spark.catalog.clearCache()
+    val corpus = Tables.corpus(spark, sfDir)
+    val nFiles = corpus.count()
+    val tScan0 = System.nanoTime()
+    exact.ExactDedup.duplicates(corpus).count()
+    val scanSec = (System.nanoTime() - tScan0) / 1e9
     spark.stop()
+
+    val scaling =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
+      else "," + bench.Scaling.scalingReport(sfDir,
+        n = 8, mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "8").toInt)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_files":$nFiles,"exact_scan_sec":$scanSec%.3f,"exact_files_per_sec":${nFiles / scanSec}%.1f$scaling}""")
   }
 }

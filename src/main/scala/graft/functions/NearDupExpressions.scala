@@ -53,10 +53,17 @@ case class MinHashSignature(child: Expression, numPerms: Int)
 object MinHashSignature {
   import HashConstants._
 
+  // coefficient arrays are per-config constants — computed once per JVM,
+  // not once per row (compute() runs per row on the hot path)
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def coefficients(numPerms: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(numPerms,
+      n => (Array.tabulate(n)(coeffA), Array.tabulate(n)(coeffB)))
+
   /** One pass over the shingle keys updating all perm minima. */
   def compute(xs: Array[Long], numPerms: Int): Array[Long] = {
-    val a = Array.tabulate(numPerms)(coeffA)
-    val b = Array.tabulate(numPerms)(coeffB)
+    val (a, b) = coefficients(numPerms)
     val sig = Array.fill(numPerms)(P)
     var i = 0
     while (i < xs.length) {
@@ -148,6 +155,132 @@ object SimHash {
   }
 }
 
+/** One-pass 5-gram shingle keys over a string: each shingle packs its 5
+  * codepoints big-endian base-256 and reduces mod P; distinct keys in
+  * first-occurrence order. Value-identical to the HOF formulation
+  * (transform(sequence) + ascii(substr)) and the DuckDB oracle, but O(n)
+  * instead of O(n²): substr(content, i, 1) re-scans the UTF8String from the
+  * start on every call, which dominated the near-dup tier's runtime.
+  */
+case class ShingleKeys(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleKeys.computeUtf8(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleKeys.computeUtf8($c));
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleKeys {
+  import HashConstants.P
+  private val B1 = 4294967296L // 256^4
+  private val B2 = 16777216L   // 256^3
+  private val B3 = 65536L      // 256^2
+  private val B4 = 256L
+
+  /** Thread-local scratch (hash table + codepoint buffer): expression eval
+    * is single-threaded per task, and per-row allocation of the ~8 KB table
+    * made high-core-count runs GC-bound (the 4N throughput ceiling in the
+    * scaling bench). */
+  private final class Scratch {
+    var table: Array[Long] = new Array[Long](1024)
+    var cps: Array[Int] = new Array[Int](1024)
+    def ensure(m: Int): Int = {
+      var cap = java.lang.Integer.highestOneBit(math.max(m * 2 - 1, 8)) * 2
+      if (cap > table.length) table = new Array[Long](cap)
+      else cap = table.length
+      java.util.Arrays.fill(table, 0, cap, -1L)
+      cap
+    }
+    def ensureCps(n: Int): Unit =
+      if (n > cps.length) cps = new Array[Int](math.max(n, cps.length * 2))
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  /** Decode into the thread-local codepoint buffer (ASCII fast path reads
+    * raw bytes; non-ASCII falls back to String decoding). Returns the
+    * buffer and the codepoint count — valid until the next call on this
+    * thread. */
+  def codepoints(s: UTF8String): (Array[Int], Int) = {
+    val nb = s.numBytes()
+    val sc = scratch.get()
+    sc.ensureCps(nb)
+    val cps = sc.cps
+    var n = 0
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) {
+      val b = s.getByte(i)
+      if (b >= 0) { cps(n) = b; n += 1; i += 1 } else ascii = false
+    }
+    if (!ascii) {
+      // non-ASCII fallback: decode codepoints via String (rare path)
+      val str = s.toString
+      n = 0
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        sc.ensureCps(n + 1)
+        sc.cps(n) = cp; n += 1
+        j += Character.charCount(cp)
+      }
+    }
+    (sc.cps, n)
+  }
+
+  def computeUtf8(s: UTF8String): Array[Long] = {
+    val (cps, n) = codepoints(s)
+    fromCodepoints(cps, n, scratch.get())
+  }
+
+  /** String-based entry (tests / reference formulation). */
+  def compute(s: String): Array[Long] = {
+    val sc = scratch.get()
+    val cpsArr = s.codePoints().toArray
+    sc.ensureCps(cpsArr.length)
+    System.arraycopy(cpsArr, 0, sc.cps, 0, cpsArr.length)
+    fromCodepoints(sc.cps, cpsArr.length, sc)
+  }
+
+  private def fromCodepoints(cps: Array[Int], n: Int, sc: Scratch): Array[Long] = {
+    if (n < 5) return Array.emptyLongArray
+    val m = n - 4
+    val cap = sc.ensure(m)
+    val table = sc.table
+    val out = new Array[Long](m)
+    var count = 0
+    var i = 0
+    while (i < m) {
+      val x = (cps(i) * B1 + cps(i + 1) * B2 + cps(i + 2) * B3 +
+        cps(i + 3) * B4 + cps(i + 4)) % P
+      var idx = (x ^ (x >>> 16)).toInt & (cap - 1)
+      var found = false
+      while (!found && table(idx) != -1L) {
+        if (table(idx) == x) found = true
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (!found) {
+        table(idx) = x
+        out(count) = x // first-occurrence order preserved
+        count += 1
+      }
+      i += 1
+    }
+    if (count == m) out else java.util.Arrays.copyOf(out, count)
+  }
+}
+
 /** Random-hyperplane LSH signatures over a quantized embedding vector:
   * returns array<long> of `tables` sign-bit signatures (`bits` bits each).
   * Hyperplane components are pseudo-random integers in [-1000, 1000] derived
@@ -206,6 +339,94 @@ object LshSignatures {
   }
 }
 
+/** Fused shingle+MinHash: the 128-perm signature computed directly from the
+  * content string in one pass — no shingle array, no dedup (min over a
+  * multiset equals min over its set), no intermediate allocation beyond the
+  * signature itself. Value-identical to
+  * MinHashSignature(ShingleKeys(content)) — asserted by NearDupSpec — and
+  * ~3× less garbage per row, which is what the 4N-core scaling run is
+  * bounded by. */
+case class MinHashContent(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_content"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashContent.compute(input.asInstanceOf[UTF8String], numPerms))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashContent.compute($c, $numPerms));
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashContent {
+  import HashConstants.P
+
+  def compute(s: UTF8String, numPerms: Int): Array[Long] = {
+    val cpsHolder = ShingleKeys.codepoints(s)
+    val cps = cpsHolder._1
+    val n = cpsHolder._2
+    val (a, b) = MinHashSignature.coefficients(numPerms)
+    val sig = Array.fill(numPerms)(P)
+    if (n < 5) return sig
+    var i = 0
+    val m = n - 4
+    while (i < m) {
+      val x = (cps(i) * 4294967296L + cps(i + 1) * 16777216L +
+        cps(i + 2) * 65536L + cps(i + 3) * 256L + cps(i + 4)) % P
+      var j = 0
+      while (j < numPerms) {
+        val h = (a(j) * x + b(j)) % P
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** Exact integer dot product of two long arrays — one tight loop instead of
+  * zip_with + aggregate (which allocates an intermediate array and evaluates
+  * two lambdas per element; at 10^7 candidate pairs × 64 dims that is the
+  * dominant cost of the embedding-similarity tier). */
+case class DotProductL(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_product_l"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DotProductL.compute(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.DotProductL.compute($l.toLongArray(), $r.toLongArray());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductL {
+  def compute(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+}
+
 /** Column-side constructors. Registered through the session FunctionRegistry
   * so `expr("...")` and SQL can reach them too. */
 object NearDupFunctions {
@@ -214,9 +435,18 @@ object NearDupFunctions {
   def minhashSignature(shingles: Column, numPerms: Int): Column =
     ExprShim.column(MinHashSignature(ExprShim.expression(shingles), numPerms))
 
+  def minhashContent(content: Column, numPerms: Int): Column =
+    ExprShim.column(MinHashContent(ExprShim.expression(content), numPerms))
+
   def simhash(content: Column, bits: Int): Column =
     ExprShim.column(SimHash(ExprShim.expression(content), bits))
 
   def lshSignatures(quantized: Column, tables: Int, bits: Int): Column =
     ExprShim.column(LshSignatures(ExprShim.expression(quantized), tables, bits))
+
+  def shingleKeys(content: Column): Column =
+    ExprShim.column(ShingleKeys(ExprShim.expression(content)))
+
+  def dotProductL(a: Column, b: Column): Column =
+    ExprShim.column(DotProductL(ExprShim.expression(a), ExprShim.expression(b)))
 }

@@ -39,19 +39,15 @@ final case class NearConfig(
   */
 object NearDup {
 
-  /** 5-gram shingle keys as a distinct array<long> per row. Pure built-in
-    * higher-order functions (codegen-friendly, no UDF): each shingle packs
-    * its 5 codepoints big-endian (base 256) and reduces mod P, matching the
-    * oracle's SQL formula digit for digit. */
+  /** 5-gram shingle keys as a distinct array<long> per row: each shingle
+    * packs its 5 codepoints big-endian (base 256) and reduces mod P —
+    * value-identical to the oracle's SQL formula. A one-pass codegen'd
+    * expression ([[graft.functions.ShingleKeys]]); the equivalent built-in
+    * HOF form (array_distinct(transform(sequence(...), ascii(substr(...)))))
+    * is O(n²) per row because substr re-scans the string per position. */
   def shingleKeys(content: String, k: Int = 5): Column = {
     require(k == 5, "shingle packing is specialized to k=5")
-    expr(
-      s"""array_distinct(transform(sequence(1, length($content) - 4), i ->
-         |  (cast(ascii(substr($content, i    , 1)) as bigint) * 4294967296 +
-         |   cast(ascii(substr($content, i + 1, 1)) as bigint) * 16777216 +
-         |   cast(ascii(substr($content, i + 2, 1)) as bigint) * 65536 +
-         |   cast(ascii(substr($content, i + 3, 1)) as bigint) * 256 +
-         |   cast(ascii(substr($content, i + 4, 1)) as bigint)) % 2147483647))""".stripMargin)
+    NearDupFunctions.shingleKeys(col(content))
   }
 
   /** Near-dup input: one representative per exact-duplicate set (the exact
@@ -71,16 +67,33 @@ object NearDup {
 
   /** Representatives with shingles + MinHash signature, computed map-side. */
   def signatures(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
-    representatives(files, cfg)
+    signaturesOf(representatives(files, cfg), cfg)
+
+  def signaturesOf(reps: DataFrame, cfg: NearConfig): DataFrame =
+    reps
       .withColumn("shingles", shingleKeys("content", cfg.shingleK))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", NearDupFunctions.minhashSignature(col("shingles"), cfg.numPerms))
 
+  /** Signature-only fast path: fused shingle+MinHash straight from content
+    * (no shingle-array materialization; min over the shingle multiset equals
+    * min over the set). Used wherever only `sig` is needed. */
+  def fastSignatures(reps: DataFrame, cfg: NearConfig): DataFrame =
+    reps
+      .filter(length(col("content")) >= cfg.shingleK)
+      .select(col("file_id"),
+        NearDupFunctions.minhashContent(col("content"), cfg.numPerms).as("sig"))
+
   /** LSH banding: signature → (band_idx, band_key) rows; band_key is the
     * comma-joined r signature values (collision-free, no overflow games). */
-  def bands(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+  def bands(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
+    bandsOf(signatures(files, cfg), cfg)
+
+  /** Banding from a precomputed signatures frame (lets composite pipelines
+    * persist `signatures` once instead of re-deriving it per stage). */
+  def bandsOf(sigs: DataFrame, cfg: NearConfig): DataFrame = {
     val r = cfg.rowsPerBand
-    signatures(files, cfg)
+    sigs
       .select(col("file_id"),
         posexplode(expr(
           s"""transform(sequence(0, ${cfg.bands - 1}), b ->
@@ -92,12 +105,19 @@ object NearDup {
 
   /** LSH candidate pairs: equi-join within (band_idx, band_key) buckets,
     * a < b, deduped across bands. `maxBucket` caps pathological buckets. */
-  def lshPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
-    var b = bands(files, cfg)
+  def lshPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
+    lshPairsOf(bands(files, cfg), cfg)
+
+  def lshPairsOf(bandsDf: DataFrame, cfg: NearConfig): DataFrame = {
+    // persist: the bands frame feeds up to three consumers (bucket-size agg,
+    // its semi-join, and both sides of the self-join) — without it the whole
+    // upstream (reps → shingles → signatures) re-executes per consumer
+    var b = bandsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (cfg.maxBucket > 0) {
       val ok = b.groupBy("band_idx", "band_key").count()
         .filter(col("count") <= cfg.maxBucket).drop("count")
       b = b.join(ok, Seq("band_idx", "band_key"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val l = b.select(col("band_idx"), col("band_key"), col("file_id").as("a"))
     val r = b.select(col("band_idx"), col("band_key"), col("file_id").as("b"))
@@ -107,18 +127,24 @@ object NearDup {
 
   /** SimHash per representative (custom codegen'd expression, map-side). */
   def simhashes(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
-    representatives(files, cfg)
-      .select(col("file_id"),
-        NearDupFunctions.simhash(col("content"), cfg.simBits).as("simhash"))
+    simhashesOf(representatives(files, cfg), cfg)
+
+  def simhashesOf(reps: DataFrame, cfg: NearConfig): DataFrame =
+    reps.select(col("file_id"),
+      NearDupFunctions.simhash(col("content"), cfg.simBits).as("simhash"))
 
   /** SimHash candidate pairs by the pigeonhole trick: split the hash into
     * `simChunks` chunks; Hamming distance ≤ hammingMax (< simChunks) implies
     * at least one chunk matches exactly → equi-join per chunk, then the
     * exact Hamming filter. */
-  def simhashPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
+  def simhashPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
+    simhashPairsOf(simhashes(files, cfg), cfg)
+
+  def simhashPairsOf(simhashesDf: DataFrame, cfg: NearConfig): DataFrame = {
     val w = cfg.simBits / cfg.simChunks
     val mask = (1L << w) - 1
-    val chunked = simhashes(files, cfg)
+    val chunked = simhashesDf
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("file_id"), col("simhash"),
         posexplode(expr(
           s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
@@ -135,10 +161,26 @@ object NearDup {
 
   /** Candidate union (LSH ∪ SimHash) with exact shingle-Jaccard verification.
     * Verification is two bounded-size equi-joins (shingle arrays of each
-    * member), never an all-pairs pass. Output: (a, b, jaccard). */
+    * member), never an all-pairs pass. Output: (a, b, jaccard).
+    *
+    * The reps/signatures frames are persisted for the duration of the query:
+    * they feed four consumers (bands, SimHash, and both sides of the shingle
+    * join) and Catalyst does not share non-exchange subplans across joins —
+    * without the persist the corpus is re-scanned and re-shingled 4×. */
   def verifiedPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
-    val cands = lshPairs(files, cfg).union(simhashPairs(files, cfg)).distinct()
-    val sh = signatures(files, cfg).select(col("file_id"), col("shingles"))
+    val reps = representatives(files, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = lshPairsOf(bandsOf(fastSignatures(reps, cfg), cfg), cfg)
+    val sim = simhashPairsOf(simhashesOf(reps, cfg), cfg)
+    val cands = lsh.union(sim).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle ARRAYS are needed only for verification — compute them for
+    // candidate members alone (a tiny subset at scale), not every rep
+    val candIds = cands.select(col("a").as("file_id"))
+      .union(cands.select(col("b").as("file_id"))).distinct()
+    val sh = reps.join(candIds, Seq("file_id"), "left_semi")
+      .select(col("file_id"), shingleKeys("content", cfg.shingleK).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.select(col("file_id").as("a"), col("shingles").as("sh_a")), Seq("a"))
       .join(sh.select(col("file_id").as("b"), col("shingles").as("sh_b")), Seq("b"))
@@ -156,6 +198,7 @@ object NearDup {
   def clusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
     val verts = representatives(files, cfg).select("file_id")
     val edges = verifiedPairs(files, cfg).select("a", "b")
+      .localCheckpoint(true) // materialize once; CC iterates over it
     graft.cluster.ConnectedComponents.run(verts, edges)
   }
 

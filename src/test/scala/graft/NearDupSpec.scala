@@ -67,6 +67,17 @@ class NearDupSpec extends SparkSpec {
     assert(mirror.join(base, "base_id").filter(col("cluster_id") =!= col("bc")).count() == 0)
   }
 
+  test("fused MinHashContent equals MinHashSignature(ShingleKeys(content))") {
+    val reps = NearDup.representatives(corpus, cfg)
+    val composed = NearDup.signaturesOf(reps, cfg).select("file_id", "sig")
+    val fused = NearDup.fastSignatures(reps, cfg)
+      .withColumnRenamed("sig", "sig2")
+    val diff = composed.join(fused, "file_id")
+      .filter(col("sig") =!= col("sig2")).count()
+    assert(diff == 0)
+    assert(composed.count() == fused.count())
+  }
+
   test("minhash signature estimates jaccard (identical arrays -> identical sigs)") {
     val xs = Array(5L, 99L, 12345L, 999999999L)
     val s1 = MinHashSignature.compute(xs, cfg.numPerms)
