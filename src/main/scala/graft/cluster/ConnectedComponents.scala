@@ -24,12 +24,23 @@ object ConnectedComponents {
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = vertices.sparkSession
-    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+    var e = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true)
 
+    // size the iteration shuffles to the data: each round is 2 shuffles of
+    // the (id, label) relation — at a few thousand edges, 32-way exchanges
+    // are pure scheduler overhead; at billions, the caller's default
+    // parallelism is right. ~1M edge-endpoints per partition.
+    val nParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (e.count() / 1000000L).toInt + 1))
+    if (nParts < spark.sparkContext.defaultParallelism)
+      e = e.repartition(nParts).localCheckpoint(true)
+
     var labels = vertices.select(col("file_id"), col("file_id").as("cluster_id"))
+      .repartition(nParts)
       .localCheckpoint(true)
     var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
     var iter = 0
@@ -40,6 +51,7 @@ object ConnectedComponents {
         .select(col("dst").as("file_id"), col("cluster_id"))
       val next = labels.union(propagated)
         .groupBy("file_id").agg(min("cluster_id").as("cluster_id"))
+        .repartition(nParts)
         .localCheckpoint(true)
       val s = next.agg(sum("cluster_id")).head().getLong(0)
       labels = next

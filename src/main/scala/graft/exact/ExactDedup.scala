@@ -72,25 +72,45 @@ object ExactDedup {
   private def prefixHash(cfg: DedupConfig): Column =
     sha2(substring(col("content"), 1, cfg.prefixLen), 256)
 
+  /** The narrow fact relation: ONE content pass over stage-1 survivors
+    * computing both hashes, content projected away immediately —
+    * (file_id, repo, path, commit, size, prefix_hash, hash) is ~0.1% of the
+    * input width, so persisting it is cheap even at 10^12 rows (dupd's hash
+    * cache db plays this role, /root/reference/src/dbops.c:84-96).
+    *
+    * Persisting matters for plan shape too: the cascade's stages each
+    * aggregate over and semi-join back to this relation; without a
+    * materialization point Catalyst duplicates the whole upstream subtree
+    * per consumer — the un-persisted form of `uniques` planned at 8.7k
+    * physical nodes (45 parquet scans). Spark's CacheManager matches by
+    * canonicalized plan, so every query deriving from the same files/config
+    * shares one cached copy. */
+  def hashedNarrow(files: DataFrame, cfg: DedupConfig): DataFrame = {
+    val scanned = scanFilter(files, cfg)
+    val sizes = scanned.groupBy("size").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("size")
+    scanned.join(sizes, Seq("size"), "left_semi")
+      .select(col("file_id"), col("repo"), col("path"), col("commit"),
+        col("size"), prefixHash(cfg).as("prefix_hash"),
+        sha2(col("content"), 256).as("hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Stage 2 (A3): (size, partial-hash) groups with ≥ 2 members among
     * stage-1 survivors — the first-K-bytes prune. */
   def partialHashGroups(files: DataFrame, cfg: DedupConfig): DataFrame =
-    sizeSurvivors(files, cfg)
-      .select(col("size"), prefixHash(cfg).as("prefix_hash"))
+    hashedNarrow(files, cfg)
       .groupBy("size", "prefix_hash").agg(count(lit(1)).as("n_files"))
       .filter(col("n_files") >= 2)
 
-  /** Stage 2 survivors with both hashes materialized map-side.
-    * Only (identity, size, hashes) flows into later shuffles — content is
-    * projected away before any exchange. */
+  /** Stage 2 survivors — (identity, size, hashes); content never enters a
+    * shuffle anywhere in the cascade. */
   def hashedSurvivors(files: DataFrame, cfg: DedupConfig): DataFrame = {
-    val staged = sizeSurvivors(files, cfg)
-      .withColumn("prefix_hash", prefixHash(cfg))
-      .withColumn("hash", sha2(col("content"), 256))
-      .select("file_id", "repo", "path", "commit", "size", "prefix_hash", "hash")
-    staged.join(
-      partialHashGroups(files, cfg).select("size", "prefix_hash"),
-      Seq("size", "prefix_hash"), "left_semi")
+    val narrow = hashedNarrow(files, cfg)
+    val phGroups = narrow.groupBy("size", "prefix_hash")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("size", "prefix_hash")
+    narrow.join(phGroups, Seq("size", "prefix_hash"), "left_semi")
   }
 
   /** Stage 3 (A4/A5): confirmed duplicates, one row per member — columns
