@@ -79,7 +79,7 @@ object Scaling {
       // average from co-tenants routinely exceeds 10 with zero local
       // processes); the min approximates the uncontended steady state a
       // dedicated cluster executor sees
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         job()

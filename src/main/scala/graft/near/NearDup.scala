@@ -209,6 +209,7 @@ object NearDup {
     val scanned = ExactDedup.scanFilter(files, DedupConfig())
       .filter(col("size") >= cfg.shingleK)
       .select(col("file_id"), col("size"), sha2(col("content"), 256).as("hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repOf = scanned.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
     val repClusters = clusters(files, cfg)
       .select(col("file_id").as("rep_id"), col("cluster_id"))
