@@ -129,6 +129,50 @@ object Oracle {
         |QUALIFY row_number() OVER (PARTITION BY path, h ORDER BY file_id) = 1"""
         .stripMargin),
 
+    "q_scan_dups_md5" -> c(
+      """SELECT c.file_id, c.repo, c.path, c."commit", c.size,
+        |       md5(c.content) AS hash, s.set_size
+        |FROM corpus c
+        |JOIN (SELECT size, md5(content) AS hash, count(*) AS set_size
+        |      FROM corpus WHERE size >= 1
+        |      GROUP BY 1, 2 HAVING count(*) >= 2) s
+        |  ON c.size = s.size AND md5(c.content) = s.hash""".stripMargin),
+
+    "q_exclude_path" -> c(
+      """SELECT file_id, repo, path, size, hash,
+        |  CASE WHEN excluded THEN 'xxx'
+        |       WHEN live_set_size >= 2 THEN 'DUP'
+        |       ELSE 'UNIQUE' END AS status,
+        |  live_set_size
+        |FROM (
+        |  SELECT d.file_id, d.repo, d.path, d.size, d.hash,
+        |    (d.repo || '/' || d.path) LIKE 'mirror/%' AS excluded,
+        |    CAST(sum(CASE WHEN (d.repo || '/' || d.path) LIKE 'mirror/%'
+        |                  THEN 0 ELSE 1 END)
+        |         OVER (PARTITION BY d.size, d.hash) AS BIGINT)
+        |      AS live_set_size
+        |  FROM dupmembers d)""".stripMargin),
+
+    "q_file_verbose" -> c(
+      """SELECT d.file_id, d.repo, d.path,
+        |  CASE WHEN d.file_id = 0 THEN 'SELF'
+        |       WHEN (d.repo || '/' || d.path) LIKE 'mirror/%' THEN 'xxx'
+        |       WHEN s.h IS NULL THEN '---'
+        |       WHEN s.h = d.hash THEN 'DUP'
+        |       ELSE '---' END AS status
+        |FROM dupmembers d
+        |JOIN (SELECT size, hash FROM dupmembers WHERE file_id = 0) p
+        |  ON d.size = p.size AND d.hash = p.hash
+        |LEFT JOIN (SELECT file_id, sha256(content) AS h FROM corpus
+        |           WHERE repo <> 'mirror2') s
+        |  ON s.file_id = d.file_id""".stripMargin),
+
+    "q_cmp_two" -> c(
+      """SELECT CAST(0 AS BIGINT) AS a, CAST(1000000 AS BIGINT) AS b,
+        |  (SELECT content FROM corpus WHERE file_id = 0) =
+        |  (SELECT content FROM corpus WHERE file_id = 1000000) AS equal"""
+        .stripMargin),
+
     "q_stats" -> c(
       """SELECT
         |  (SELECT count(*) FROM corpus WHERE size >= 1) AS files_scanned,

@@ -57,6 +57,22 @@ object SparkEntry {
       ExactDedup.hardlinkUnique(Tables.corpus(s, dir), cfg)),
     "q_stats" -> ((s, dir) =>
       ExactDedup.stats(Tables.corpus(s, dir), cfg)),
+    // C1-C4: alternate digest algorithm (the reference's --hash)
+    "q_scan_dups_md5" -> ((s, dir) =>
+      ExactDedup.duplicates(Tables.corpus(s, dir), cfg.copy(hashAlg = "md5"))),
+    // F6: --exclude-path member demotion
+    "q_exclude_path" -> ((s, dir) =>
+      ExactDedup.withExcludeStatus(
+        ExactDedup.duplicates(Tables.corpus(s, dir), cfg), "mirror/")),
+    // J2 verbose: member statuses vs the CURRENT snapshot (DUP/---/xxx)
+    "q_file_verbose" -> ((s, dir) => {
+      val corpus = Tables.corpus(s, dir)
+      ExactDedup.fileStatuses(corpus,
+        corpus.filter(col("repo") =!= "mirror2"), 0L, Some("mirror/"), cfg)
+    }),
+    // A6: direct two-file compare
+    "q_cmp_two" -> ((s, dir) =>
+      ExactDedup.compareTwo(Tables.corpus(s, dir), 0L, 1000000L)),
 
     // — near-dup tier (north_rule: MinHash-LSH + SimHash + LCS + CC) —
     "q_reps" -> ((s, dir) =>

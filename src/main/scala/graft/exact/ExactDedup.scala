@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   *                   document-scale content here, configurable for file-scale
   *   - `includeHidden` — the `--hidden` flag (/root/reference/src/scan.c:246-249)
   */
+/** @param hashAlg digest selection, the reference's `--hash`
+  *   (/root/reference/src/options.conf:90, src/main.c:357-370; digest widths
+  *   src/hash.c:258-278): "sha256" (default invariant per input_hint),
+  *   "md5", "sha1", "sha512", or "xxh64" (Spark's xxhash64 — NOT
+  *   byte-compatible with the reference's seed-1 xxHash, same role only). */
 final case class DedupConfig(
     minSize: Long = 1L,
     prefixLen: Int = 64,
-    includeHidden: Boolean = false)
+    includeHidden: Boolean = false,
+    hashAlg: String = "sha256")
 
 /** dupd's exact-duplicate detection as a staged, Spark-native cascade.
   *
@@ -69,8 +75,18 @@ object ExactDedup {
     scanFilter(files, cfg)
       .join(candidateSizes(files, cfg).select("size"), Seq("size"), "left_semi")
 
+  /** C1–C4: digest of a content column under the configured algorithm. */
+  def digest(c: Column, cfg: DedupConfig): Column = cfg.hashAlg match {
+    case "sha256" => sha2(c, 256)
+    case "sha512" => sha2(c, 512)
+    case "md5"    => md5(c)
+    case "sha1"   => sha1(c)
+    case "xxh64"  => xxhash64(c).cast("string")
+    case other    => throw new IllegalArgumentException(s"unknown hashAlg $other")
+  }
+
   private def prefixHash(cfg: DedupConfig): Column =
-    sha2(substring(col("content"), 1, cfg.prefixLen), 256)
+    digest(substring(col("content"), 1, cfg.prefixLen), cfg)
 
   /** The narrow fact relation: ONE content pass over stage-1 survivors
     * computing both hashes, content projected away immediately —
@@ -92,7 +108,7 @@ object ExactDedup {
     scanned.join(sizes, Seq("size"), "left_semi")
       .select(col("file_id"), col("repo"), col("path"), col("commit"),
         col("size"), prefixHash(cfg).as("prefix_hash"),
-        sha2(col("content"), 256).as("hash"))
+        digest(col("content"), cfg).as("hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -179,6 +195,62 @@ object ExactDedup {
     d.join(keep, Seq("size", "hash"))
       .filter(col("file_id") =!= col("keep_id"))
       .select(col("keep_id"), col("file_id").as("remove_id"), col("repo"), col("path"))
+  }
+
+  /** F6 — `--exclude-path`: members whose repo/path falls under the prefix
+    * are marked `xxx` and never counted as duplicates; sets whose
+    * non-excluded membership drops below 2 lose DUP status entirely
+    * (/root/reference/src/report.c:248-251, options.conf:5). Input: the flat
+    * duplicates relation; output adds (status, live_set_size) where status ∈
+    * {DUP, xxx, UNIQUE} — UNIQUE = survivor of a set the exclusion broke. */
+  def withExcludeStatus(duplicates: DataFrame, excludePrefix: String): DataFrame = {
+    val flagged = duplicates.withColumn("excluded",
+      concat(col("repo"), lit("/"), col("path")).startsWith(excludePrefix))
+    val live = flagged.filter(!col("excluded"))
+      .groupBy("size", "hash").agg(count(lit(1)).as("live_set_size"))
+    flagged.join(live, Seq("size", "hash"), "left")
+      .withColumn("live_set_size", coalesce(col("live_set_size"), lit(0L)))
+      .withColumn("status",
+        when(col("excluded"), "xxx")
+          .when(col("live_set_size") >= 2, "DUP")
+          .otherwise("UNIQUE"))
+      .select("file_id", "repo", "path", "size", "hash", "status", "live_set_size")
+  }
+
+  /** J2 verbose — `dupd file -v` member statuses evaluated against the
+    * CURRENT snapshot (/root/reference/src/report.c:218-281): DUP = member
+    * still present and byte-identical now; `---` = gone from the snapshot;
+    * `xxx` = under the exclude prefix. The probed file's row is SELF. */
+  def fileStatuses(scanned: DataFrame, snapshot: DataFrame, probeFileId: Long,
+                   excludePrefix: Option[String] = None,
+                   cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val d = duplicates(scanned, cfg)
+    val probe = d.filter(col("file_id") === probeFileId).select("size", "hash")
+    val members = d.join(broadcast(probe), Seq("size", "hash"))
+    // re-verify NOW: a member counts as DUP only if the snapshot still has
+    // this file_id with identical content (hash recomputed from snapshot)
+    val current = snapshot
+      .select(col("file_id"), digest(col("content"), cfg).as("now_hash"))
+    members.join(current, Seq("file_id"), "left")
+      .withColumn("status",
+        when(col("file_id") === probeFileId, "SELF")
+          .when(excludePrefix.map(p =>
+            concat(col("repo"), lit("/"), col("path")).startsWith(p))
+            .getOrElse(lit(false)), "xxx")
+          .when(col("now_hash").isNull, "---")
+          .when(col("now_hash") === col("hash"), "DUP")
+          .otherwise("---"))
+      .select("file_id", "repo", "path", "status")
+  }
+
+  /** A6 — the reference's direct two-file block compare
+    * (/root/reference/src/filecompare.c:44-111): equality on the content
+    * column, one row (a, b, equal). */
+  def compareTwo(files: DataFrame, a: Long, b: Long): DataFrame = {
+    val fa = files.filter(col("file_id") === a).select(col("content").as("ca"))
+    val fb = files.filter(col("file_id") === b).select(col("content").as("cb"))
+    fa.crossJoin(fb)
+      .select(lit(a).as("a"), lit(b).as("b"), (col("ca") === col("cb")).as("equal"))
   }
 
   /** §2.9 `refresh` — incremental batch re-check: drop set members no longer
