@@ -39,8 +39,13 @@ object Bench {
 
     val scaling =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
-      else "," + bench.Scaling.scalingReport(sfDir,
-        n = 8, mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "8").toInt)
+      else try {
+        "," + bench.Scaling.scalingReport(sfDir,
+          n = 8, mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "8").toInt)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaling failed: ${e.getMessage}")
+        "" // never lose the round's query timings to a scaling hiccup
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -39,10 +39,17 @@ object ConnectedComponents {
     if (nParts < spark.sparkContext.defaultParallelism)
       e = e.repartition(nParts).localCheckpoint(true)
 
+    // convergence check: labels decrease monotonically, so the label sum is
+    // a strict fixpoint detector. Summed as decimal(38,0): a long sum would
+    // overflow (and throw, under ANSI) at 10^12 vertices × 2^63-scale ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+
     var labels = vertices.select(col("file_id"), col("file_id").as("cluster_id"))
       .repartition(nParts)
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -53,9 +60,9 @@ object ConnectedComponents {
         .groupBy("file_id").agg(min("cluster_id").as("cluster_id"))
         .repartition(nParts)
         .localCheckpoint(true)
-      val s = next.agg(sum("cluster_id")).head().getLong(0)
+      val s = labelSum(next)
       labels = next
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }

@@ -89,6 +89,10 @@ class ExactDedupSpec extends SparkSpec {
     assert(r.count() == dups.count() - sets)
   }
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("per-row invariant: sha2(content,256) stable under re-evaluation") {
     val h1 = corpus.select(col("file_id"), sha2(col("content"), 256).as("h"))
     val h2 = corpus.select(col("file_id"), sha2(col("content"), 256).as("h2"))
