@@ -21,10 +21,14 @@ object Bench {
 
     // deterministic order; caches cleared between queries so each is
     // measured cold and the persisted near-dup intermediates don't leak
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -49,7 +53,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_files":$nFiles,"exact_scan_sec":$scanSec%.3f,"exact_files_per_sec":${nFiles / scanSec}%.1f$scaling}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_files":$nFiles,"exact_scan_sec":$scanSec%.3f,"exact_files_per_sec":${nFiles / scanSec}%.1f$scaling}""")
   }
 }

@@ -145,6 +145,43 @@ object OracleNear {
     "q_neardup_clusters" -> n(
       "SELECT file_id, cluster_id FROM clusters"),
 
+    // exact LCS via gaps-and-islands: a common substring of length L is a
+    // run of L consecutive matching character positions on one diagonal
+    // (i - j constant) of the match matrix; LCS = the longest island.
+    // O(Σ |xa|·|xb| · char-collision) rows — bounded because candidate
+    // pairs are LSH/SimHash-filtered near-identical documents.
+    "q_lcs_pairs" -> n(
+      """, lp AS (
+        |  SELECT v.a, v.b, v.jaccard, ca.content AS xa, cb.content AS xb
+        |  FROM verified v
+        |  JOIN corpus ca ON ca.file_id = v.a
+        |  JOIN corpus cb ON cb.file_id = v.b
+        |), xi AS (
+        |  SELECT a, b, i, substr(xa, CAST(i AS INT), 1) AS ch
+        |  FROM (SELECT a, b, xa,
+        |               unnest(generate_series(1, length(xa))) AS i FROM lp)
+        |), yj AS (
+        |  SELECT a, b, j, substr(xb, CAST(j AS INT), 1) AS ch
+        |  FROM (SELECT a, b, xb,
+        |               unnest(generate_series(1, length(xb))) AS j FROM lp)
+        |), mpos AS (
+        |  SELECT xi.a, xi.b, xi.i, xi.i - yj.j AS diag
+        |  FROM xi JOIN yj ON yj.a = xi.a AND yj.b = xi.b AND yj.ch = xi.ch
+        |), runs AS (
+        |  SELECT a, b, count(*) AS run_len
+        |  FROM (SELECT a, b, diag, i,
+        |               i - row_number() OVER (PARTITION BY a, b, diag
+        |                                      ORDER BY i) AS isl
+        |        FROM mpos)
+        |  GROUP BY a, b, diag, isl
+        |), lcs AS (
+        |  SELECT a, b, max(run_len) AS lcs_len FROM runs GROUP BY a, b
+        |)
+        |SELECT l.a, l.b, p.jaccard, CAST(l.lcs_len AS BIGINT) AS lcs_len,
+        |       CAST(l.lcs_len AS DOUBLE) / least(length(p.xa), length(p.xb))
+        |         AS lcs_ratio
+        |FROM lcs l JOIN lp p ON p.a = l.a AND p.b = l.b""".stripMargin),
+
     "q_all_clusters" -> n(
       """SELECT c.file_id, cl.cluster_id
         |FROM (SELECT file_id, size, sha256(content) AS h FROM corpus

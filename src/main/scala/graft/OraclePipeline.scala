@@ -17,6 +17,36 @@ object OraclePipeline {
       |)
       |""".stripMargin
 
+  /** Random-hyperplane LSH signature CTE over quantized embeddings — the SQL
+    * twin of [[graft.functions.LshSignatures]]: plane component for
+    * (table t, bit h, dim d) = (((t*bits+h)*dim + d + 1) * 2654435761)
+    * % 2001 - 1000; signature bit h of table t set iff the dot product with
+    * that plane is ≥ 0. All arithmetic < 2^63. */
+  private def lshSigCte(tables: Int, bits: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), grid AS (
+       |  SELECT vec_id, t, h,
+       |    CAST(sum(v[CAST(d AS INT) + 1] *
+       |         ((((t * $bits + h) * len(v) + d + 1) * 2654435761) % 2001
+       |          - 1000)) AS BIGINT) AS dot
+       |  FROM (SELECT vec_id, v, unnest(generate_series(0, len(v) - 1)) AS d
+       |        FROM q),
+       |       (SELECT unnest(generate_series(0, ${tables - 1})) AS t),
+       |       (SELECT unnest(generate_series(0, ${bits - 1})) AS h)
+       |  GROUP BY vec_id, t, h
+       |), sigs AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN dot >= 0
+       |                  THEN (1::BIGINT << CAST(h AS INT)) ELSE 0 END)
+       |         AS BIGINT) AS sig
+       |  FROM grid GROUP BY vec_id, t
+       |)
+       |""".stripMargin
+
   private val langIdSql: String = {
     // argmax by (score desc, lang asc) — equivalent to TextAnalysis.langId's
     // strict-greater fold (earliest max wins; profiles are lang-sorted)
@@ -136,21 +166,48 @@ object OraclePipeline {
         |    * 1000000) / 1000000 AS norm_q
         |FROM embeddings""".stripMargin,
 
-    "q_cosine_pairs" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding,
-        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-        |  FROM embeddings
+    // LSH-blocked cosine dedup: candidates share ≥1 hyperplane bucket
+    // (identical blocking to Ann.cosineDupPairs at tables=16, bits=4),
+    // exact quantized cosine ≥ 0.40 within candidates
+    "q_cosine_pairs" -> (lshSigCte(16, 4) +
+      """, cand AS (
+        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        |  FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+        |  WHERE l.vec_id < r.vec_id
         |)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        |       floor(list_dot_product(a.v, b.v) /
-        |             sqrt(list_dot_product(a.v, a.v) *
-        |                  list_dot_product(b.v, b.v)) * 1000000) / 1000000 AS cos
-        |FROM q a JOIN q b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
-        |      >= 0.55""".stripMargin,
+        |SELECT c.a, c.b,
+        |       floor(list_dot_product(qa.v, qb.v) /
+        |             sqrt(list_dot_product(qa.v, qa.v) *
+        |                  list_dot_product(qb.v, qb.v)) * 1000000) / 1000000 AS cos
+        |FROM cand c
+        |JOIN q qa ON qa.vec_id = c.a
+        |JOIN q qb ON qb.vec_id = c.b
+        |WHERE floor(list_dot_product(qa.v, qb.v) /
+        |            sqrt(list_dot_product(qa.v, qa.v) *
+        |                 list_dot_product(qb.v, qb.v)) * 1000000) / 1000000
+        |      >= 0.40""".stripMargin),
+
+    // LSH-bucketed ANN top-k: same hyperplane signatures (tables=16,
+    // bits=6), candidates from bucket equi-joins, exact cosine, top-5
+    "q_ann_lsh" -> (lshSigCte(16, 6) +
+      """, cand AS (
+        |  SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+        |  FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+        |  WHERE l.vec_id < 10 AND l.vec_id <> r.vec_id
+        |), scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         floor(list_dot_product(qa.v, qb.v) /
+        |               sqrt(list_dot_product(qa.v, qa.v) *
+        |                    list_dot_product(qb.v, qb.v)) * 1000000) / 1000000 AS cos
+        |  FROM cand c
+        |  JOIN q qa ON qa.vec_id = c.query_id
+        |  JOIN q qb ON qb.vec_id = c.neighbor_id
+        |)
+        |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |       neighbor_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |QUALIFY row_number() OVER w <= 5""".stripMargin),
 
     "q_events_window" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start,
@@ -185,6 +242,43 @@ object OraclePipeline {
     "q_mm_meta" ->
       """SELECT doc_id, 'utf8-blob' AS format,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // byte histogram of the utf-8 payload, 16 bins, zeros included — the
+    // decode stub's exact-integer core (documents are ASCII, so byte ==
+    // codepoint and ascii(substr(..)) reads the byte value)
+    "q_mm_features" ->
+      """WITH by AS (
+        |  SELECT doc_id,
+        |         ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)
+        |), c AS (
+        |  SELECT doc_id, bin, count(*) AS n FROM by GROUP BY doc_id, bin
+        |)
+        |SELECT d.doc_id, CAST(b.bin AS BIGINT) AS bin,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_in_bin
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+        |LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = b.bin""".stripMargin,
+
+    // frame sampling plumbing: payload split into 4 equal byte slices,
+    // step = max(n/4, 1), frame i exists while i*step < n, trailing bytes
+    // beyond 4*step dropped (mirrors Multimodal.sampleFrames)
+    "q_mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |         greatest(CAST(octet_length(encode(text)) AS BIGINT) // 4, 1)
+        |           AS step
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       least(step, n - i * step) AS frame_n_bytes
+        |FROM (SELECT doc_id, n, step,
+        |             unnest(generate_series(0, 3)) AS i
+        |      FROM m)
+        |WHERE i * step < n""".stripMargin
   )
 }

@@ -96,8 +96,10 @@ object SparkEntry {
       near.NearDup.clusters(Tables.corpus(s, dir))),
     "q_all_clusters" -> ((s, dir) =>
       near.NearDup.allFileClusters(Tables.corpus(s, dir))),
-    // suffix-array LCS verification — not SQL-expressible, rows-only check;
-    // exactness is asserted against a brute-force DP oracle in LcsSpec.
+    // suffix-array LCS verification — the oracle computes the exact LCS via
+    // a gaps-and-islands SQL (longest diagonal run of matching char
+    // positions); the suffix array itself is additionally checked against a
+    // brute-force DP oracle in LcsSpec.
     "q_lcs_pairs" -> ((s, dir) => {
       val corpus = Tables.corpus(s, dir)
       near.Lcs.verify(near.NearDup.verifiedPairs(corpus), corpus)
@@ -131,10 +133,12 @@ object SparkEntry {
       sim.Ann.bruteForceTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
     "q_embed_norms" -> ((s, dir) =>
       sim.Ann.norms(Tables.embeddings(s, dir))),
+    // embedding near-dup: LSH-blocked candidates + exact quantized cosine
+    // (threshold 0.40 is non-vacuous on this data: max pair cosine ≈ 0.51)
     "q_cosine_pairs" -> ((s, dir) =>
-      sim.Ann.cosineDupPairs(Tables.embeddings(s, dir), 0.55)),
-    // LSH-bucketed ANN — the scale path; rows-only (hyperplanes not worth
-    // re-deriving in SQL), recall asserted vs brute force in AnnSpec.
+      sim.Ann.cosineDupPairs(Tables.embeddings(s, dir), 0.40)),
+    // LSH-bucketed ANN — the scale path; the oracle re-derives the
+    // hyperplane signatures in SQL (plain modular arithmetic).
     "q_ann_lsh" -> ((s, dir) =>
       sim.Ann.lshTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
@@ -148,10 +152,11 @@ object SparkEntry {
     "q_mm_meta" -> ((s, dir) =>
       mm.Multimodal.asMedia(Tables.documents(s, dir))
         .select("doc_id", "format", "n_bytes")),
+    // exact-integer feature view (doc_id, bin, n_in_bin): hash-comparable
+    // decode output; the float features array is covered by MultimodalSpec
     "q_mm_features" -> ((s, dir) =>
-      mm.Multimodal.extractFeatures(s,
-        mm.Multimodal.asMedia(Tables.documents(s, dir))).toDF()
-        .select(col("doc_id"), col("n_bytes"), col("features"))),
+      mm.Multimodal.featureHistogram(s,
+        mm.Multimodal.asMedia(Tables.documents(s, dir))).toDF()),
     "q_mm_frames" -> ((s, dir) =>
       mm.Multimodal.sampleFrames(s,
         mm.Multimodal.asMedia(Tables.documents(s, dir)), 4).toDF()

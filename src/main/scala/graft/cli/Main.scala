@@ -29,9 +29,23 @@ import graft.query.Report
 object Main {
   def main(args: Array[String]): Unit = {
     val op = args.headOption.getOrElse("help")
-    val opts = args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ args.filter(_ == "--hidden").map(_ => "hidden" -> "true").toMap
+    // one-token boolean flags vs two-token valued flags: consume accordingly
+    // (sliding(2,2) misaligned everything after a bare --hidden)
+    val booleanFlags = Set("hidden")
+    val opts = {
+      val m = scala.collection.mutable.Map.empty[String, String]
+      var i = 1
+      while (i < args.length) {
+        val a = args(i)
+        if (a.startsWith("--")) {
+          val k = a.drop(2)
+          if (booleanFlags(k)) { m(k) = "true"; i += 1 }
+          else if (i + 1 < args.length) { m(k) = args(i + 1); i += 2 }
+          else i += 1 // trailing valued flag with no value: ignore
+        } else i += 1
+      }
+      m.toMap
+    }
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

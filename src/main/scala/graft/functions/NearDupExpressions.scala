@@ -109,14 +109,20 @@ object SimHash {
   val TokenLen: Int = 8
   val Base: Long = 131L
 
-  /** Polynomial hash of the first 8 chars (padded with '_'), codepoints
-    * mod 256 — mirrors the oracle's SQL formula exactly. */
+  /** Polynomial hash of the first 8 codepoints (padded with '_'), codepoints
+    * mod 256 — mirrors the oracle's SQL formula exactly. Walks by char index
+    * advancing with Character.charCount so supplementary characters (one
+    * codepoint, two UTF-16 chars) are counted once and never indexed past the
+    * end of the string. */
   def tokenHash(tok: String): Long = {
     var h = 0L
     var pow = 1L
-    var i = 0
+    var i = 0      // codepoint index
+    var ci = 0     // char index into tok
     while (i < TokenLen) {
-      val cp = if (i < tok.length) tok.codePointAt(tok.offsetByCodePoints(0, i)) else PadChar.toInt
+      val cp =
+        if (ci < tok.length) { val c = tok.codePointAt(ci); ci += Character.charCount(c); c }
+        else PadChar.toInt
       h += (cp % 256) * pow
       pow *= Base
       i += 1

@@ -19,6 +19,7 @@ object Multimodal {
   /** Typed row for the partition-local decode pass. */
   case class MediaRow(doc_id: Long, format: String, n_bytes: Long, payload: Array[Byte])
   case class FeatureRow(doc_id: Long, format: String, n_bytes: Long, features: Array[Float])
+  case class HistRow(doc_id: Long, bin: Long, n_in_bin: Long)
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** Wrap a text table as a binary media table: payload = utf-8 bytes,
@@ -37,15 +38,21 @@ object Multimodal {
     * testable end-to-end. */
   object FakeDecoder {
     val Bins = 16
-    def decode(payload: Array[Byte]): Array[Float] = {
-      val hist = new Array[Int](Bins)
+    /** Integer byte histogram — the exact (engine-comparable) decode core. */
+    def histogram(payload: Array[Byte]): Array[Long] = {
+      val hist = new Array[Long](Bins)
       var i = 0
       while (i < payload.length) {
         hist((payload(i) & 0xff) * Bins / 256) += 1
         i += 1
       }
+      hist
+    }
+    /** Normalized float features (histogram / n) — the shape a real codec
+      * feature vector has. */
+    def decode(payload: Array[Byte]): Array[Float] = {
       val n = math.max(payload.length, 1).toFloat
-      hist.map(_ / n)
+      histogram(payload).map(_ / n)
     }
   }
 
@@ -55,6 +62,19 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
       FeatureRow(r.doc_id, r.format, r.n_bytes, FakeDecoder.decode(r.payload))
+    })
+  }
+
+  /** Exact-integer feature view for the correctness gate: one row per
+    * (doc, bin) with the raw histogram count — every value is a BIGINT, so
+    * the DuckDB oracle reproduces the decode bit for bit (the float
+    * `features` array is not hash-comparable across engines: pandas cannot
+    * lexsort array cells and float formatting differs). */
+  def featureHistogram(spark: SparkSession, media: DataFrame): Dataset[HistRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      val hist = FakeDecoder.histogram(r.payload)
+      (0 until FakeDecoder.Bins).iterator.map(b => HistRow(r.doc_id, b.toLong, hist(b)))
     })
   }
 

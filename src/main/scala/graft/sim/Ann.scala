@@ -98,10 +98,43 @@ object Ann {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         graft.text.TextAnalysis.r6(sqrt(dotQ(col("qv"), col("qv")).cast("double"))).as("norm_q"))
 
-  /** Embedding-cosine near-dup pairs among a bounded id range: all pairs with
-    * cosine ≥ threshold (exact, quantized). Demonstrates the
-    * embedding-dedup operator; LSH path bounds it at scale. */
-  def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding-cosine near-dup pairs, LSH-blocked: candidates are pairs
+    * sharing at least one random-hyperplane bucket (equi-join on
+    * (table, signature) — never an all-pairs product); exact quantized
+    * cosine ≥ threshold verifies within candidates. This IS the operator's
+    * semantics (blocked, like the text tier's MinHash-LSH): the bucket join
+    * is the 100 TB path, and the oracle reproduces the identical blocking.
+    * Recall rises with `tables` and falls with `bits`; `bits` should grow
+    * ~log2(corpus) at scale (16×4 ⇒ 0.82 recall at cos 0.40 on the 500-vector
+    * fixture, measured vs the all-pairs baseline in AnnSpec). */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double,
+                     tables: Int = 16, bits: Int = 4): DataFrame = {
+    val v = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nv", dotQ(col("qv"), col("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = v
+      .withColumn("sigs",
+        graft.functions.NearDupFunctions.lshSignatures(col("qv"), tables, bits))
+      .select(col("vec_id"), posexplode(col("sigs")))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("sig"))
+    val cands = buckets.select(col("t"), col("sig"), col("vec_id").as("a"))
+      .join(buckets.select(col("t"), col("sig"), col("vec_id").as("b")), Seq("t", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // vectors fetched per candidate (a tiny subset at scale), norms reused
+    cands
+      .join(v.select(col("vec_id").as("a"), col("qv").as("va"), col("nv").as("na")), Seq("a"))
+      .join(v.select(col("vec_id").as("b"), col("qv").as("vb"), col("nv").as("nb")), Seq("b"))
+      .withColumn("cos", graft.text.TextAnalysis.r6(
+        dotQ(col("va"), col("vb")).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** Exact all-pairs cosine baseline (bounded inputs only — the recall
+    * yardstick for [[cosineDupPairs]] in AnnSpec, never the scale path). */
+  def cosineDupPairsExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val v = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nv", dotQ(col("qv"), col("qv")))
     val l = v.select(col("vec_id").as("a"), col("qv").as("va"), col("nv").as("na"))

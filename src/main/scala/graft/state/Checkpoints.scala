@@ -1,6 +1,6 @@
 package graft.state
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-partition checkpointing + lineage + metrics — the Spark-native role
@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * table is both the lineage record and the completion marker). At cluster
   * scale the bucket maps to an Iceberg partition and the manifest to a
   * metadata table; here both are parquet directories.
+  *
+  * A stored bucket is reused ONLY if its recorded lineage — every config
+  * field AND a fingerprint of the bucket's input slice — matches the current
+  * run. This mirrors dupd's cache invalidation on size/ctime drift
+  * (/root/reference/src/dbops.c:167-205,736-744, cache_db_scrub_entry): a
+  * resume against changed input recomputes exactly the buckets whose slice
+  * changed. The fingerprint hashes (file_id, size, commit) — `commit` plays
+  * ctime's role in the immutable-table model (content changes arrive as new
+  * commits); it is a narrow column pass, never a content read.
   */
 object Checkpoints {
 
@@ -34,24 +43,59 @@ object Checkpoints {
     }
   }
 
+  /** Buckets with a manifest row for this stage whose recorded lineage
+    * matches `lineageOf(bucket)` — stale rows (config or input drift) are
+    * ignored, so those buckets recompute. */
+  def validBuckets(spark: SparkSession, root: String, stage: String,
+                   nBuckets: Int, lineageOf: Int => String): Set[Int] = {
+    val recorded = readMetrics(spark, root)
+      .filter(col("stage") === stage)
+      .select("bucket", "lineage").distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    (0 until nBuckets).filter(b => recorded((b, lineageOf(b)))).toSet
+  }
+
+  /** Completion markers regardless of lineage (diagnostics / `cache ls`). */
   def completedBuckets(spark: SparkSession, root: String, stage: String): Set[Int] =
     readMetrics(spark, root)
       .filter(col("stage") === stage)
       .select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
 
-  /** Run `compute(bucket)` for every not-yet-done bucket, persisting each
-    * bucket's output and a manifest row; returns the stage's full output
-    * (all buckets, completed now or previously). `lineage` ties the output
-    * to its input + config (any drift forces a fresh root). */
+  /** Drop a stage's stored buckets + manifest rows (the reference's
+    * `cache --delete`, /root/reference/src/cache.c:33-55). Rewrites the
+    * metrics table without the stage's rows. */
+  def deleteStage(spark: SparkSession, root: String, stage: String): Unit = {
+    val remaining = readMetrics(spark, root).filter(col("stage") =!= stage)
+    val rows = remaining.collect()
+    deleteDir(new java.io.File(s"$root/$stage"))
+    deleteDir(new java.io.File(metricsPath(root)))
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), remaining.schema)
+        .write.mode(SaveMode.Overwrite).parquet(metricsPath(root))
+    }
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteDir)
+    f.delete(): Unit
+  }
+
+  /** Run `compute(bucket)` for every bucket lacking a lineage-valid manifest
+    * row, persisting each bucket's output and a manifest row; returns the
+    * stage's full output (all buckets, computed now or reused). `lineageOf`
+    * ties a bucket's output to its input + config — any drift in either
+    * recomputes that bucket. */
   def runStage(spark: SparkSession, root: String, stage: String,
-               nBuckets: Int, lineage: String,
+               nBuckets: Int, lineageOf: Int => String,
                onlyBuckets: Option[Set[Int]] = None)
               (compute: Int => DataFrame): DataFrame = {
     import spark.implicits._
-    val done = completedBuckets(spark, root, stage)
+    val valid = validBuckets(spark, root, stage, nBuckets, lineageOf)
     val todo = (0 until nBuckets)
-      .filter(b => !done.contains(b))
+      .filter(b => !valid.contains(b))
       .filter(b => onlyBuckets.forall(_.contains(b)))
     todo.foreach { b =>
       val t0 = System.nanoTime()
@@ -62,14 +106,35 @@ object Checkpoints {
         .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L)))
         .as[(Long, Long)].head()
       val wallMs = (System.nanoTime() - t0) / 1000000
-      Seq(StageMetric(stage, b, rows, bytes, wallMs, lineage,
+      Seq(StageMetric(stage, b, rows, bytes, wallMs, lineageOf(b),
         System.currentTimeMillis())).toDF()
         .write.mode(SaveMode.Append).parquet(metricsPath(root))
     }
-    val available = completedBuckets(spark, root, stage)
+    val available = validBuckets(spark, root, stage, nBuckets, lineageOf)
+      .union(todo.toSet)
     val paths = available.toSeq.sorted.map(b => s"$root/$stage/bucket=$b")
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
+  }
+
+  /** Bucket predicate: all grouping keys downstream contain `size`, so the
+    * bucket is self-contained (and partition-prunable at Iceberg scale). */
+  private def bucketOf(n: Int): Column = pmod(col("size"), n)
+
+  /** Fingerprint of one bucket's input slice: row count + an order-
+    * independent XOR of per-row hashes over the identity/version columns
+    * (XOR never overflows under ANSI arithmetic; rows are identity-unique so
+    * pair-cancellation needs a hash collision). One narrow pass (no
+    * content); drift in membership, size, or commit of any row in the
+    * bucket changes the fingerprint. */
+  def inputFingerprint(files: DataFrame, nBuckets: Int, bucket: Int): String = {
+    import org.apache.spark.sql.Row
+    val r: Row = files.filter(bucketOf(nBuckets) === bucket)
+      .agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("file_id"), col("size"), col("commit"))), lit(0L)))
+      .head()
+    s"n=${r.getLong(0)}:x=${r.getLong(1)}"
   }
 
   /** Checkpointed exact-dedup scan: duplicates per size-hash bucket.
@@ -78,17 +143,21 @@ object Checkpoints {
                              root: String, nBuckets: Int,
                              cfg: graft.exact.DedupConfig = graft.exact.DedupConfig(),
                              onlyBuckets: Option[Set[Int]] = None): DataFrame = {
-    val lineage = s"exact:v1:minSize=${cfg.minSize}:prefixLen=${cfg.prefixLen}:" +
-      s"nBuckets=$nBuckets"
-    runStage(spark, root, "exact", nBuckets, lineage, onlyBuckets) { b =>
-      // the bucket filter rides the scan (partition-prunable at Iceberg
-      // scale); all downstream grouping keys contain `size`, so the bucket
-      // is self-contained
+    // every DedupConfig field participates: a resume under a different
+    // config must never mix with stored buckets
+    val cfgLineage = s"exact:v1:minSize=${cfg.minSize}:prefixLen=${cfg.prefixLen}:" +
+      s"hidden=${cfg.includeHidden}:alg=${cfg.hashAlg}:nBuckets=$nBuckets"
+    // fingerprints computed once up front (nBuckets narrow aggregates); at
+    // cluster scale this is one pass over Iceberg manifests, not data
+    val fps: Map[Int, String] =
+      (0 until nBuckets).map(b => b -> inputFingerprint(files, nBuckets, b)).toMap
+    runStage(spark, root, "exact", nBuckets,
+      b => s"$cfgLineage:fp(${fps(b)})", onlyBuckets) { b =>
       graft.exact.ExactDedup.duplicates(
-        files.filter(pmod(col("size"), nBuckets) === b), cfg)
+        files.filter(bucketOf(nBuckets) === b), cfg)
     }
   }
 
   /** Non-negative modulus (sizes are non-negative; kept explicit). */
-  private def pmod(c: org.apache.spark.sql.Column, n: Int) = c % n
+  private def pmod(c: Column, n: Int) = c % n
 }

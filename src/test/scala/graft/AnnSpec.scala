@@ -41,9 +41,20 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.15, s"pathologically low recall $recall")
   }
 
-  test("cosine dup pairs are symmetric-free (a<b) and above threshold") {
-    val pairs = Ann.cosineDupPairs(emb, 0.55)
+  test("cosine dup pairs: a<b, above threshold, and LSH blocking recall vs exact") {
+    val pairs = Ann.cosineDupPairs(emb, 0.40).cache()
     assert(pairs.filter(col("a") >= col("b")).count() == 0)
-    assert(pairs.filter(col("cos") < 0.55).count() == 0)
+    assert(pairs.filter(col("cos") < 0.40).count() == 0)
+    assert(pairs.count() > 0, "threshold must be non-vacuous on the fixture")
+    // blocked results are a subset of the exact all-pairs baseline with
+    // usable recall (every blocked pair is exact-verified, so precision = 1)
+    val exact = Ann.cosineDupPairsExact(emb, 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = pairs.select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+    val recall = blocked.size.toDouble / exact.size
+    info(f"LSH-blocked cosine dedup recall vs exact: $recall%.3f (tables=16, bits=4)")
+    assert(recall > 0.5, s"pathologically low recall $recall")
   }
 }

@@ -44,6 +44,37 @@ class CheckpointSpec extends SparkSpec {
     assert(direct.exceptAll(resumed).count() == 0)
   }
 
+  test("config drift invalidates stored buckets (no silent mixing)") {
+    val root = freshRoot()
+    Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)
+    // re-run with a different digest algorithm: lineage differs, so the
+    // stored buckets are stale — result must equal a direct md5 pipeline
+    val md5cfg = cfg.copy(hashAlg = "md5")
+    val ck = Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, md5cfg)
+    val direct = ExactDedup.duplicates(corpus, md5cfg)
+    assert(ck.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(ck).count() == 0)
+  }
+
+  test("input drift invalidates stale buckets: mutate input, re-run, recomputed") {
+    val root = freshRoot()
+    Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)
+    val tsBefore = Checkpoints.readMetrics(spark, root).collect()
+      .map(r => r.getInt(r.fieldIndex("bucket")) ->
+        r.getLong(r.fieldIndex("finished_at"))).toMap
+    // drift: the mirror repo vanishes — every bucket whose slice contained
+    // mirror rows has a changed fingerprint and must recompute
+    val mutated = corpus.filter(col("repo") =!= "mirror")
+    val ck = Checkpoints.checkpointedDuplicates(spark, mutated, root, 2, cfg)
+    val direct = ExactDedup.duplicates(mutated, cfg)
+    assert(ck.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(ck).count() == 0)
+    // at least one bucket recomputed (manifest gained newer rows)
+    val after = Checkpoints.readMetrics(spark, root).collect()
+    assert(after.exists(r => r.getLong(r.fieldIndex("finished_at")) >
+      tsBefore(r.getInt(r.fieldIndex("bucket")))))
+  }
+
   test("metrics carry stage lineage and per-bucket rows/bytes") {
     val root = freshRoot()
     Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)
