@@ -6,10 +6,9 @@ package graft
   */
 object Oracle {
 
-  /** SQL twin of [[Tables.corpus]]. */
-  val corpusCte: String =
-    """WITH corpus0 AS (
-      |  SELECT doc_id AS file_id, source AS repo,
+  /** Body of the corpus0 CTE, reusable by variant corpora (skew fixture). */
+  val corpus0Body: String =
+    """  SELECT doc_id AS file_id, source AS repo,
       |         concat('doc_', doc_id, '.txt') AS path, 'c0' AS "commit",
       |         lang, text AS content
       |  FROM documents
@@ -26,8 +25,14 @@ object Oracle {
       |  UNION ALL
       |  SELECT doc_id + 4000000, 'foil', concat('doc_', doc_id, '.txt'),
       |         'c0', lang, substr(text, 1, CAST(n_chars - 1 AS INT)) || 'X'
-      |  FROM documents WHERE doc_id % 7 = 0
-      |), corpus AS (
+      |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** SQL twin of [[Tables.corpus]]. */
+  val corpusCte: String =
+    s"""WITH corpus0 AS (
+      |$corpus0Body
+      |), corpus AS (""".stripMargin +
+    """
       |  SELECT *, CAST(length(content) AS BIGINT) AS size FROM corpus0
       |), dupmembers AS (
       |  SELECT c.file_id, c.repo, c.path, c."commit", c.lang, c.content,

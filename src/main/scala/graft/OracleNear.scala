@@ -9,8 +9,14 @@ object OracleNear {
   /** CTE chain appended to Oracle.corpusCte. Mirrors, stage for stage:
     * NearDup.representatives / shingleKeys / MinHashSignature / bands /
     * lshPairs / SimHash / simhashPairs / verifiedPairs / ConnectedComponents.
+    * `cap` mirrors NearConfig.maxBucket: band/chunk buckets above it are
+    * dropped before pair generation (QUALIFY count OVER bucket <= cap) —
+    * identical blocking in both engines at every scale factor.
     */
-  val nearCtes: String =
+  def nearCtes(cap: Int = graft.near.NearConfig().maxBucket): String =
+    nearCtesRaw.replace("__CAP__", cap.toString)
+
+  private val nearCtesRaw: String =
     """reps AS (
       |  SELECT * FROM (SELECT *, sha256(content) AS h FROM corpus
       |                 WHERE size >= 5)
@@ -36,9 +42,12 @@ object OracleNear {
       |  SELECT file_id, CAST(j // 8 AS BIGINT) AS band_idx,
       |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
       |  FROM sigs GROUP BY file_id, j // 8
+      |), bandsk AS (
+      |  SELECT * FROM bands
+      |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= __CAP__
       |), lsh_pairs AS (
       |  SELECT DISTINCT l.file_id AS a, r.file_id AS b
-      |  FROM bands l JOIN bands r
+      |  FROM bandsk l JOIN bandsk r
       |    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
       |  WHERE l.file_id < r.file_id
       |), tokh AS (
@@ -66,9 +75,11 @@ object OracleNear {
       |           AS simhash
       |  FROM simbits GROUP BY file_id
       |), simchunks AS (
-      |  SELECT file_id, simhash,
-      |         c, (simhash >> CAST(c * 15 AS INT)) & 32767 AS chunk
-      |  FROM simhashes, (SELECT unnest(generate_series(0, 3)) AS c)
+      |  SELECT * FROM (
+      |    SELECT file_id, simhash,
+      |           c, (simhash >> CAST(c * 15 AS INT)) & 32767 AS chunk
+      |    FROM simhashes, (SELECT unnest(generate_series(0, 3)) AS c))
+      |  QUALIFY count(*) OVER (PARTITION BY c, chunk) <= __CAP__
       |), sim_pairs AS (
       |  SELECT a, b FROM (
       |    SELECT DISTINCT l.file_id AS a, r.file_id AS b,
@@ -118,7 +129,22 @@ object OracleNear {
     * transitive-closure clusters oracle). */
   private def n(sql: String): String =
     "WITH RECURSIVE " + Oracle.corpusCte.trim.stripPrefix("WITH ") + ",\n" +
-      nearCtes + sql
+      nearCtes() + sql
+
+  /** Prefix for the skew fixture: corpus ∪ the boilerplate family
+    * (Tables.skewCorpus twin) + the near CTEs under a biting bucket cap. */
+  private def skew(cap: Int, family: Int, sql: String): String =
+    s"""WITH RECURSIVE corpus0 AS (
+       |${Oracle.corpus0Body}
+       |  UNION ALL
+       |  SELECT 5000000 + i, 'boiler', concat('gen_', i, '.txt'), 'c0',
+       |         lang, text || ' boilerplate variant ' || CAST(i AS VARCHAR)
+       |  FROM (SELECT lang, text FROM documents WHERE doc_id = 0),
+       |       (SELECT unnest(generate_series(0, ${family - 1})) AS i)
+       |), corpus AS (
+       |  SELECT *, CAST(length(content) AS BIGINT) AS size FROM corpus0
+       |),
+       |""".stripMargin + nearCtes(cap) + sql
 
   val sql: Map[String, String] = Map(
     "q_reps" -> n(
@@ -144,6 +170,13 @@ object OracleNear {
 
     "q_neardup_clusters" -> n(
       "SELECT file_id, cluster_id FROM clusters"),
+
+    // planted-skew fixture under a biting cap (64): the boilerplate family's
+    // hot band buckets are dropped (logged on the Spark side), sub-cap
+    // buckets — salted in Spark between hotBucket and the cap — still pair;
+    // both engines implement identical blocking
+    "q_skew_pairs" -> skew(cap = 64, family = 1000,
+      "SELECT a, b FROM lsh_pairs"),
 
     // exact LCS via gaps-and-islands: a common substring of length L is a
     // run of L consecutive matching character positions on one diagonal

@@ -94,6 +94,13 @@ object SparkEntry {
       near.NearDup.verifiedPairs(Tables.corpus(s, dir))),
     "q_neardup_clusters" -> ((s, dir) =>
       near.NearDup.clusters(Tables.corpus(s, dir))),
+    // north-rule skew handling: planted boilerplate family, cap=64 bites
+    // (hot buckets dropped + logged), buckets in (16, 64] take the salted
+    // two-phase pair join — results identical to the plain join by
+    // construction, asserted in SkewSpec
+    "q_skew_pairs" -> ((s, dir) =>
+      near.NearDup.lshPairs(Tables.skewCorpus(s, dir),
+        near.NearConfig(maxBucket = 64, hotBucket = 16, salts = 4))),
     "q_all_clusters" -> ((s, dir) =>
       near.NearDup.allFileClusters(Tables.corpus(s, dir))),
     // suffix-array LCS verification — the oracle computes the exact LCS via

@@ -78,4 +78,27 @@ object Tables {
     base.unionAll(mirror).unionAll(mirror2).unionAll(fork).unionAll(foil)
       .withColumn("size", length(col("content")).cast("long"))
   }
+
+  /** Corpus + a planted near-identical boilerplate family: `family` rows
+    * sharing doc 0's text with a distinct short suffix each — near-dups
+    * (high shingle Jaccard) that are NOT exact dups, so the exact-rep
+    * collapse cannot absorb them and they flood shared LSH band buckets.
+    * The deterministic skew fixture for the north rule's salted/capped
+    * pair-generation path; the DuckDB oracle rebuilds it identically
+    * ([[OracleNear]] q_skew_pairs). */
+  def skewCorpus(spark: SparkSession, sfDir: String, family: Int = 1000): DataFrame = {
+    val d = documents(spark, sfDir)
+    val boiler = d.filter(col("doc_id") === 0)
+      .select(col("lang"), col("text"))
+      .crossJoin(spark.range(family).toDF("i"))
+      .select(
+        (col("i") + 5000000L).as("file_id"),
+        lit("boiler").as("repo"),
+        concat(lit("gen_"), col("i"), lit(".txt")).as("path"),
+        lit("c0").as("commit"),
+        col("lang"),
+        concat(col("text"), lit(" boilerplate variant "), col("i")).as("content"))
+      .withColumn("size", length(col("content")).cast("long"))
+    corpus(spark, sfDir).unionAll(boiler)
+  }
 }

@@ -18,10 +18,19 @@ final case class NearConfig(
     simChunks: Int = 4,
     hammingMax: Int = 3,
     jaccardThreshold: Double = 0.7,
-    /** LSH buckets larger than this are dropped (0 = unlimited). At 10^12
-      * rows a giant bucket is an exact-dup family the exact tier already
-      * resolved; capping bounds the within-bucket pair blow-up. */
-    maxBucket: Int = 0) {
+    /** Band/chunk buckets larger than this are dropped — LOGGED, never
+      * silent (0 = unlimited). A bucket holding a large corpus fraction
+      * (boilerplate family, corpus-wide-constant SimHash chunk — the sf0.1
+      * data really has one with 75% of all reps) is an LSH stop-word: its
+      * pair set is quadratic and carries no discriminative signal. ON by
+      * default per the north rule; members keep recall through their other
+      * bands/chunks. */
+    maxBucket: Int = 4096,
+    /** Buckets above this (but under the cap) generate pairs through the
+      * salted two-phase join ([[graft.skew.Salting]]) so one hot bucket's
+      * quadratic work spreads across `salts` tasks. */
+    hotBucket: Int = 512,
+    salts: Int = 16) {
   require(bands * rowsPerBand == numPerms, "bands × rowsPerBand must equal numPerms")
   require(simChunks * (simBits / simChunks) == simBits)
 }
@@ -109,20 +118,13 @@ object NearDup {
     lshPairsOf(bands(files, cfg), cfg)
 
   def lshPairsOf(bandsDf: DataFrame, cfg: NearConfig): DataFrame = {
-    // persist: the bands frame feeds up to three consumers (bucket-size agg,
-    // its semi-join, and both sides of the self-join) — without it the whole
-    // upstream (reps → shingles → signatures) re-executes per consumer
-    var b = bandsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (cfg.maxBucket > 0) {
-      val ok = b.groupBy("band_idx", "band_key").count()
-        .filter(col("count") <= cfg.maxBucket).drop("count")
-      b = b.join(ok, Seq("band_idx", "band_key"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    val l = b.select(col("band_idx"), col("band_key"), col("file_id").as("a"))
-    val r = b.select(col("band_idx"), col("band_key"), col("file_id").as("b"))
-    l.join(r, Seq("band_idx", "band_key")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // persist: the bands frame feeds three consumers (bucket-size agg and
+    // both sides of the self-join) — without it the whole upstream
+    // (reps → shingles → signatures) re-executes per consumer
+    val b = bandsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.skew.Salting.bucketPairs(b, Seq("band_idx", "band_key"), "file_id",
+      Nil, cfg.maxBucket, cfg.hotBucket, cfg.salts)
+      .distinct()
   }
 
   /** SimHash per representative (custom codegen'd expression, map-side). */
@@ -144,18 +146,15 @@ object NearDup {
     val w = cfg.simBits / cfg.simChunks
     val mask = (1L << w) - 1
     val chunked = simhashesDf
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("file_id"), col("simhash"),
         posexplode(expr(
           s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
       .select(col("file_id"), col("simhash"), col("pos").as("chunk_idx"), col("col").as("chunk"))
-    val l = chunked.select(col("chunk_idx"), col("chunk"),
-      col("file_id").as("a"), col("simhash").as("sim_a"))
-    val r = chunked.select(col("chunk_idx"), col("chunk"),
-      col("file_id").as("b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("chunk_idx", "chunk")).filter(col("a") < col("b"))
-      .select("a", "b", "sim_a", "sim_b").distinct()
-      .filter(expr(s"bit_count(sim_a ^ sim_b) <= ${cfg.hammingMax}"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.skew.Salting.bucketPairs(chunked, Seq("chunk_idx", "chunk"), "file_id",
+      Seq("simhash"), cfg.maxBucket, cfg.hotBucket, cfg.salts)
+      .distinct()
+      .filter(expr(s"bit_count(simhash_a ^ simhash_b) <= ${cfg.hammingMax}"))
       .select("a", "b")
   }
 
@@ -167,9 +166,16 @@ object NearDup {
     * they feed four consumers (bands, SimHash, and both sides of the shingle
     * join) and Catalyst does not share non-exchange subplans across joins —
     * without the persist the corpus is re-scanned and re-shingled 4×. */
-  def verifiedPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
-    val reps = representatives(files, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def verifiedPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
+    verifiedPairsOf(
+      representatives(files, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      cfg)
+
+  /** Verified pairs from a precomputed (and caller-persisted) reps frame —
+    * lets composite queries (clusters, allFileClusters) share one reps scan
+    * instead of re-deriving the whole upstream per stage. */
+  def verifiedPairsOf(reps: DataFrame, cfg: NearConfig): DataFrame = {
     val lsh = lshPairsOf(bandsOf(fastSignatures(reps, cfg), cfg), cfg)
     val sim = simhashPairsOf(simhashesOf(reps, cfg), cfg)
     val cands = lsh.union(sim).distinct()
@@ -195,25 +201,40 @@ object NearDup {
   /** Near-dup clusters over representatives: connected components of the
     * verified-pair graph; singleton reps cluster with themselves. Output:
     * (file_id, cluster_id). */
-  def clusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
-    val verts = representatives(files, cfg).select("file_id")
-    val edges = verifiedPairs(files, cfg).select("a", "b")
+  def clusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
+    clustersOf(
+      representatives(files, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      cfg)
+
+  /** Clusters from a precomputed (caller-persisted) reps frame: reps feed
+    * both the vertex set and the whole pair pipeline — one scan, not two. */
+  def clustersOf(reps: DataFrame, cfg: NearConfig): DataFrame = {
+    val verts = reps.select("file_id")
+    val edges = verifiedPairsOf(reps, cfg).select("a", "b")
       .localCheckpoint(true) // materialize once; CC iterates over it
     graft.cluster.ConnectedComponents.run(verts, edges)
   }
 
   /** Expand rep-level clusters back to every file: exact-dup members inherit
     * their representative's near-dup cluster. Output (file_id, cluster_id)
-    * for every scannable file. */
+    * for every scannable file. The whole query derives from ONE persisted
+    * narrow scan — reps, the pair pipeline, and the member-expansion join
+    * all share it (a second cascade re-run doubled this query's cost). */
   def allFileClusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
     val scanned = ExactDedup.scanFilter(files, DedupConfig())
       .filter(col("size") >= cfg.shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val narrow = scanned
       .select(col("file_id"), col("size"), sha2(col("content"), 256).as("hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repOf = scanned.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
-    val repClusters = clusters(files, cfg)
+    val repOf = narrow.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
+    val reps = scanned.join(
+      repOf.select(col("rep_id").as("file_id")), Seq("file_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repClusters = clustersOf(reps, cfg)
       .select(col("file_id").as("rep_id"), col("cluster_id"))
-    scanned.join(repOf, Seq("size", "hash"))
+    narrow.join(repOf, Seq("size", "hash"))
       .join(repClusters, Seq("rep_id"))
       .select("file_id", "cluster_id")
   }

@@ -1,0 +1,93 @@
+package graft.skew
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Skew handling for bucketed self-join pair generation — the north_rule
+  * mandate ("repo-level skew via salted repartitioning of hot size/hash
+  * buckets"; the reference's analogous intent is the 5-phase size-class IO
+  * scheduling of /root/reference/src/readlist.c:336-439, which bounds the
+  * memory/work of pathologically large groups).
+  *
+  * Near-identical boilerplate families put thousands of members into ONE
+  * (band, key) LSH bucket or ONE SimHash chunk bucket; a plain self-join
+  * then generates the whole n² pair set inside a single shuffle partition —
+  * one straggler task at best, an executor OOM at worst. Two-phase plan:
+  *
+  *   1. aggregate bucket sizes (tiny: one row per bucket);
+  *   2. buckets larger than `maxBucket` are DROPPED — and logged, never
+  *      silent. A bucket holding a large fraction of the corpus carries no
+  *      discriminative signal (the "stop-shingle" of LSH literature): at
+  *      10^12 rows its pair set is quadratically explosive, and its members
+  *      keep their recall through the other bands/chunks.
+  *   3. buckets above `hotThreshold` (but under the cap) generate pairs via
+  *      SALTED join: the left side gets salt = hash(id) % salts, the right
+  *      side is replicated to all salts, the join key grows by the salt —
+  *      each (a, b) pair is produced exactly once, but the bucket's
+  *      quadratic work is spread across `salts` tasks/partitions.
+  *   4. cold buckets take the plain equi-join.
+  */
+object Salting {
+
+  /** Pairs (a, b) with a < b within each bucket defined by `keyCols`,
+    * carrying each `payloadCols` column from both sides as `<p>_a` / `<p>_b`.
+    * Output may contain the same pair via several buckets — callers dedup
+    * (`.distinct()`), exactly as with a plain bucket self-join.
+    *
+    * `maxBucket <= 0` disables the cap; `hotThreshold <= 0` salts nothing.
+    * The bucket-size aggregate is one narrow shuffle over (keys, count) —
+    * negligible next to the pair join it protects.
+    */
+  def bucketPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
+                  payloadCols: Seq[String], maxBucket: Int,
+                  hotThreshold: Int, salts: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val sizes = buckets.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val kept =
+      if (maxBucket > 0) {
+        // logged, not silent: dropped buckets are a recall-relevant decision
+        val dropped = sizes.filter(col("__n") > maxBucket)
+          .agg(count(lit(1)), coalesce(max(col("__n")), lit(0L))).head()
+        if (dropped.getLong(0) > 0)
+          System.err.println(
+            s"[graft.skew] dropped ${dropped.getLong(0)} bucket(s) over " +
+              s"cap=$maxBucket on (${keyCols.mkString(",")}); " +
+              s"largest had ${dropped.getLong(1)} members")
+        sizes.filter(col("__n") <= maxBucket)
+      } else sizes
+
+    // attach bucket size so hot/cold routing is a row-local predicate
+    val withN = buckets.join(kept, keyCols)
+
+    def side(df: DataFrame, suffix: String) =
+      df.select(keyCols.map(col) ++
+        ((idCol, if (suffix == "_a") "a" else "b") +: payloadCols.map(p => (p, s"$p$suffix")))
+          .map { case (c, as) => col(c).as(as) }: _*)
+
+    val outCols = ("a" +: "b" +: payloadCols.flatMap(p => Seq(s"${p}_a", s"${p}_b")))
+      .map(col)
+
+    val hotCut = if (hotThreshold > 0 && salts > 1) hotThreshold.toLong else Long.MaxValue
+    val cold = withN.filter(col("__n") <= hotCut)
+    val coldPairs = side(cold, "_a")
+      .join(side(cold, "_b"), keyCols)
+      .filter(col("a") < col("b"))
+      .select(outCols: _*)
+
+    if (hotCut == Long.MaxValue) return coldPairs
+
+    val hot = withN.filter(col("__n") > hotCut)
+    val l = side(hot, "_a")
+      .withColumn("__salt", pmod(xxhash64(col("a")), lit(salts.toLong)))
+    val r = side(hot, "_b")
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    val hotPairs = l.join(r, keyCols :+ "__salt")
+      .filter(col("a") < col("b"))
+      .select(outCols: _*)
+
+    coldPairs.unionAll(hotPairs)
+  }
+}
