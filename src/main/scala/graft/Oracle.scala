@@ -105,6 +105,12 @@ object Oracle {
         |JOIN (SELECT size, hash FROM dupmembers WHERE file_id = 0) p
         |  ON d.size = p.size AND d.hash = p.hash""".stripMargin),
 
+    "q_ls" -> c(
+      """SELECT file_id, repo, path, size,
+        |  CASE WHEN count(*) OVER (PARTITION BY size, sha256(content)) >= 2
+        |       THEN 'DUPLICATE' ELSE 'UNIQUE' END AS status
+        |FROM corpus WHERE size >= 1""".stripMargin),
+
     "q_rmsh" -> c(
       """SELECT s.keep_id, d.file_id AS remove_id, d.repo, d.path
         |FROM dupmembers d

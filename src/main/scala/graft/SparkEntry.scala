@@ -43,6 +43,10 @@ object SparkEntry {
       ExactDedup.dups(Tables.corpus(s, dir), cfg)),
     "q_file_lookup" -> ((s, dir) =>
       ExactDedup.fileLookup(Tables.corpus(s, dir), 0L, cfg)),
+    // §2.7/`ls`: EVERY file listed with its status — reference operation_ls
+    // sets both print_uniques and print_duplicates (src/report.c:485-542)
+    "q_ls" -> ((s, dir) =>
+      ExactDedup.fileStatusesAll(Tables.corpus(s, dir), cfg)),
     "q_rmsh" -> ((s, dir) =>
       ExactDedup.rmsh(Tables.corpus(s, dir), cfg)),
     "q_refresh" -> ((s, dir) => {

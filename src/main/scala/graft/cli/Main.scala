@@ -1,6 +1,6 @@
 package graft.cli
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.exact.{DedupConfig, ExactDedup}
@@ -12,21 +12,35 @@ import graft.query.Report
   *
   *   graft.cli.Main <op> --data <sfDir> [flags]
   *
-  *   scan      write duplicates to --out (parquet), like `dupd scan`
+  *   scan      write the duplicates db to --out (parquet + meta), like
+  *             `dupd scan` (the scan's output is a database, not a report —
+  *             /root/reference/docs/design.md:9-28)
   *   report    text/csv/json report (--format, --cut, --minsize)
-  *   uniques | dups | ls    file classification listings
-  *   file      one file's dup set (--id N)
+  *   uniques | dups | ls    file classification listings; `ls` lists EVERY
+  *             file with its status (/root/reference/src/report.c:485-542)
+  *   file      one file's dup set (--id N), re-verified vs the current data
   *   refresh   drop vanished members (--drop-repo simulates deletions)
   *   validate  exit 1 if any set's members diverge (src/report.c:607-679)
   *   rmsh      rm-shell script on stdout
   *   near      near-dup verified pairs to --out
   *   clusters  near-dup clusters to --out
-  *   hash      per-row sha256 of one file (--id N)
+  *   hash      per-row sha256 of one file (--id N); with --db, read-through
+  *             from the stored scan (src/report.c:686-727)
+  *   cache     ls | delete on a --checkpoint root (src/cache.c:33-55)
   *
   * Flags: --minsize N (F2/F7), --cut PREFIX (C8), --format text|csv|json,
-  * --hidden (F1), --out DIR, --checkpoint DIR --buckets N (resumable scan).
+  * --hidden (F1), --out DIR, --db DIR (query a stored scan instead of
+  * rescanning — the dupd scan/query split), --checkpoint DIR --buckets N
+  * (resumable scan), --stats-file F (S9 append sink).
   */
 object Main {
+
+  /** The db format version + staleness budget, the analogues of dupd's meta
+    * version check and db_warn_age_seconds
+    * (/root/reference/src/dbops.c:260-291, src/main.c:88). */
+  val DbVersion = "graft-1"
+  val StaleAfterMs: Long = 3L * 24 * 3600 * 1000
+
   def main(args: Array[String]): Unit = {
     val op = args.headOption.getOrElse("help")
     // one-token boolean flags vs two-token valued flags: consume accordingly
@@ -56,25 +70,71 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val dataDir = opts.getOrElse("data", "/root/testdata/sf0.001")
     val cfg = DedupConfig(
       minSize = opts.get("minsize").map(_.toLong).getOrElse(1L),
-      includeHidden = opts.contains("hidden"))
+      includeHidden = opts.contains("hidden"),
+      hashAlg = opts.getOrElse("alg", "sha256"))
     val cutP = opts.get("cut")
     def corpus = Tables.corpus(spark, dataDir)
-    def dupsDf = opts.get("checkpoint") match {
-      case Some(root) => graft.state.Checkpoints.checkpointedDuplicates(
-        spark, corpus, root, opts.getOrElse("buckets", "8").toInt, cfg)
-      case None => ExactDedup.duplicates(corpus, cfg)
+
+    /** Open a stored scan db: meta version + staleness checks
+      * (/root/reference/src/dbops.c:244-293). */
+    def openDb(dir: String): DataFrame = {
+      try {
+        val meta = spark.read.parquet(s"$dir/_meta").head()
+        val ver = meta.getAs[String]("version")
+        if (ver != DbVersion)
+          sys.error(s"db at $dir has version $ver, expected $DbVersion — re-run scan")
+        val age = System.currentTimeMillis() - meta.getAs[Long]("dbtime")
+        if (age > StaleAfterMs)
+          System.err.println(s"[graft] WARNING: db is ${age / 86400000L} days old; " +
+            "results may not reflect the current data (re-run scan)")
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          System.err.println(s"[graft] WARNING: no meta table at $dir (${e.getMessage})")
+      }
+      spark.read.parquet(s"$dir/duplicates")
+    }
+
+    /** duplicates relation: stored (--db), checkpointed (--checkpoint), or
+      * computed from the data. */
+    def dupsDf: DataFrame = opts.get("db") match {
+      case Some(dir) => openDb(dir)
+      case None => opts.get("checkpoint") match {
+        case Some(root) => graft.state.Checkpoints.checkpointedDuplicates(
+          spark, corpus, root, opts.getOrElse("buckets", "8").toInt, cfg)
+        case None => ExactDedup.duplicates(corpus, cfg)
+      }
     }
     def sets(minTotal: Long = 0L) = Report.reportSets(dupsDf, cutP, minTotal)
 
+    /** Stream a listing to stdout without collecting it on the driver
+      * (dupd streams per file; a .collect() at 10^12 rows is a driver OOM). */
+    def stream(df: DataFrame)(render: org.apache.spark.sql.Row => String): Unit =
+      df.toLocalIterator().forEachRemaining(r => println(render(r)))
+
     val exitCode: Int = op match {
       case "scan" =>
-        val out = opts.getOrElse("out", "/tmp/graft_duplicates")
-        dupsDf.write.mode("overwrite").parquet(out)
-        println(s"duplicates written to $out"); 0
+        val out = opts.getOrElse("out", "/tmp/graft_db")
+        val d = dupsDf
+        d.write.mode("overwrite").parquet(s"$out/duplicates")
+        Seq((DbVersion, System.currentTimeMillis(), cfg.minSize,
+          cfg.includeHidden, cfg.hashAlg))
+          .toDF("version", "dbtime", "minsize", "hidden", "alg")
+          .write.mode("overwrite").parquet(s"$out/_meta")
+        // S9 — append counters to --stats-file (src/stats.c:183-201)
+        opts.get("stats-file").foreach { f =>
+          val s = ExactDedup.stats(corpus, cfg).head()
+          val line = s.schema.fieldNames.zipWithIndex
+            .map { case (n, i) => s""""$n":${s.get(i)}""" }
+            .mkString("{", ",", s""","dbtime":${System.currentTimeMillis()}}""")
+          val fw = new java.io.FileWriter(f, true)
+          try fw.write(line + "\n") finally fw.close()
+        }
+        println(s"scan db written to $out"); 0
       case "report" =>
         val s = sets(opts.get("minsize").map(_.toLong).getOrElse(0L))
         opts.getOrElse("format", "text") match {
@@ -84,16 +144,34 @@ object Main {
         }
         0
       case "uniques" =>
-        ExactDedup.uniques(corpus, cfg).orderBy("file_id")
-          .collect().foreach(r => println(s"   UNIQUE: ${r.get(1)}/${r.get(2)}")); 0
-      case "dups" | "ls" =>
-        ExactDedup.dups(corpus, cfg).orderBy("file_id")
-          .collect().foreach(r => println(s"DUPLICATE: ${r.get(1)}/${r.get(2)}")); 0
+        // anti-join of the scan against the dup relation; streamed
+        val u = ExactDedup.scanFilter(corpus, cfg)
+          .join(dupsDf.select("file_id"), Seq("file_id"), "left_anti")
+          .select("file_id", "repo", "path").orderBy("file_id")
+        stream(u)(r => s"   UNIQUE: ${r.get(1)}/${r.get(2)}"); 0
+      case "dups" =>
+        val d = dupsDf.select("file_id", "repo", "path").orderBy("file_id")
+        stream(d)(r => s"DUPLICATE: ${r.get(1)}/${r.get(2)}"); 0
+      case "ls" =>
+        // EVERY file with its status (reference prints both kinds,
+        // /root/reference/src/report.c:485-542)
+        val all = ExactDedup.scanFilter(corpus, cfg)
+          .join(dupsDf.select("file_id").distinct()
+            .withColumn("__dup", lit(true)), Seq("file_id"), "left")
+          .withColumn("status",
+            when(col("__dup"), "DUPLICATE").otherwise("UNIQUE"))
+          .select("file_id", "repo", "path", "status").orderBy("file_id")
+        stream(all)(r => f"${r.getString(3)}%9s: ${r.get(1)}/${r.get(2)}"); 0
       case "file" =>
         val id = opts.getOrElse("id", "0").toLong
-        ExactDedup.fileLookup(corpus, id, cfg).orderBy("file_id")
-          .collect().foreach(r =>
-            println(f"${r.getString(3)}%8s: ${r.get(1)}/${r.get(2)}")); 0
+        val res = opts.get("db") match {
+          // stored-scan lookup, re-verified against the CURRENT data (J2)
+          case Some(_) => ExactDedup.fileStatusesIn(dupsDf, corpus, id,
+            opts.get("exclude-path"), cfg)
+          case None => ExactDedup.fileLookup(corpus, id, cfg)
+        }
+        stream(res.orderBy("file_id"))(r =>
+          f"${r.getString(3)}%8s: ${r.get(1)}/${r.get(2)}"); 0
       case "refresh" =>
         val snapshot = opts.get("drop-repo")
           .fold(corpus)(rm => corpus.filter(col("repo") =!= rm))
@@ -117,12 +195,35 @@ object Main {
         println(s"clusters written to $out"); 0
       case "hash" =>
         val id = opts.getOrElse("id", "0").toLong
-        corpus.filter(col("file_id") === id)
-          .select(sha2(col("content"), 256)).collect()
-          .foreach(r => println(r.getString(0))); 0
+        // read-through: a stored scan already has this file's digest
+        // (/root/reference/src/report.c:686-727 reads the hash cache first)
+        val cached = opts.get("db").toSeq.flatMap(dir =>
+          openDb(dir).filter(col("file_id") === id)
+            .select("hash").limit(1).collect())
+        val h = cached.headOption.map(_.getString(0)).getOrElse {
+          corpus.filter(col("file_id") === id)
+            .select(ExactDedup.digest(col("content"), cfg)).head().getString(0)
+        }
+        println(h); 0
+      case "cache" =>
+        // dupd `cache --ls / --delete` (/root/reference/src/cache.c:33-55)
+        val root = opts.getOrElse("checkpoint", "/tmp/graft_ckpt")
+        opts.getOrElse("action", "ls") match {
+          case "delete" =>
+            val stage = opts.getOrElse("stage", "exact")
+            graft.state.Checkpoints.deleteStage(spark, root, stage)
+            println(s"deleted stage $stage under $root"); 0
+          case _ =>
+            val m = graft.state.Checkpoints.readMetrics(spark, root)
+              .orderBy("stage", "bucket")
+            stream(m)(r => s"${r.getAs[String]("stage")} bucket=${r.getAs[Int]("bucket")} " +
+              s"rows=${r.getAs[Long]("rows")} bytes=${r.getAs[Long]("bytes")} " +
+              s"wall_ms=${r.getAs[Long]("wall_ms")} lineage=${r.getAs[String]("lineage")}")
+            0
+        }
       case _ =>
         println("usage: graft.cli.Main <scan|report|uniques|dups|ls|file|" +
-          "refresh|validate|rmsh|near|clusters|hash> --data DIR [flags]"); 2
+          "refresh|validate|rmsh|near|clusters|hash|cache> --data DIR [flags]"); 2
     }
     spark.stop()
     if (exitCode != 0) sys.exit(exitCode)

@@ -177,14 +177,88 @@ object ExactDedup {
     * claimed members are re-evaluated against the CURRENT snapshot (content
     * re-hashed now, not trusted from scan time) —
     * /root/reference/src/report.c:402-460. Output: the set members of the
-    * probed file with status DUP for verified-identical members. */
+    * probed file with status DUP for verified-identical members.
+    *
+    * Probe-pushdown plan (dupd's `file` is an index lookup against the
+    * stored scan, /root/reference/src/dbops.c:508-642 — NOT a rescan): the
+    * probe's (size, hash) is resolved first (two scalar jobs), then only
+    * same-size rows are hashed — `size = <k>` is a partition-prunable
+    * predicate at Iceberg scale, so the full cascade never runs. */
   def fileLookup(files: DataFrame, probeFileId: Long,
                  cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val d = duplicates(files, cfg)
-    val probe = d.filter(col("file_id") === probeFileId).select("size", "hash")
-    d.join(broadcast(probe), Seq("size", "hash"))
+    val scanned = scanFilter(files, cfg)
+    val members = probeSetMembers(scanned, probeFileId, cfg)
+    members
       .select(col("file_id"), col("repo"), col("path"),
         when(col("file_id") === probeFileId, "SELF").otherwise("DUP").as("status"))
+  }
+
+  /** Members of the probe's duplicate set evaluated via probe pushdown:
+    * same-size rows only are hashed; empty when the probe is unique
+    * (set size < 2) or absent. Columns: scanned's + `hash`. */
+  private def probeSetMembers(scanned: DataFrame, probeFileId: Long,
+                              cfg: DedupConfig): DataFrame = {
+    val probeRows = scanned.filter(col("file_id") === probeFileId)
+      .select(col("size"), digest(col("content"), cfg).as("hash")).collect()
+    if (probeRows.isEmpty)
+      return scanned.filter(lit(false)).withColumn("hash", lit(""))
+    val (sz, h) = (probeRows(0).getLong(0), probeRows(0).getString(1))
+    val members = scanned.filter(col("size") === sz)
+      .withColumn("hash", digest(col("content"), cfg))
+      .filter(col("hash") === h)
+    // dup-set semantics: a singleton set is not a duplicate set
+    members
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("size", "hash")))
+      .filter(col("__n") >= 2).drop("__n")
+  }
+
+  /** `ls` — every scanned file with its DUPLICATE/UNIQUE status: the
+    * reference's operation_ls sets BOTH print_uniques and print_duplicates
+    * (/root/reference/src/report.c:485-542 — every file listed). */
+  def fileStatusesAll(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scanFilter(files, cfg)
+      .withColumn("hash", digest(col("content"), cfg))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("size", "hash")))
+      .withColumn("status", when(col("__n") >= 2, "DUPLICATE").otherwise("UNIQUE"))
+      .select("file_id", "repo", "path", "size", "status")
+  }
+
+  /** J1 against a STORED duplicates relation (the dupd scan/query split:
+    * query ops read the db, they do not rescan —
+    * /root/reference/src/dbops.c:508-642). `dups` is the flat output of
+    * [[duplicates]] (or the checkpointed scan). */
+  def fileLookupIn(dups: DataFrame, probeFileId: Long): DataFrame = {
+    val probe = dups.filter(col("file_id") === probeFileId).select("size", "hash")
+    dups.join(broadcast(probe), Seq("size", "hash"))
+      .select(col("file_id"), col("repo"), col("path"),
+        when(col("file_id") === probeFileId, "SELF").otherwise("DUP").as("status"))
+  }
+
+  /** J2 against a STORED duplicates relation with re-verification vs the
+    * CURRENT snapshot: DUP only if the member still exists with identical
+    * content now (the reference's safety guarantee,
+    * /root/reference/src/report.c:218-281). Only claimed members are
+    * re-hashed (semi-join first), never the whole snapshot. */
+  def fileStatusesIn(dups: DataFrame, snapshot: DataFrame, probeFileId: Long,
+                     excludePrefix: Option[String] = None,
+                     cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val probe = dups.filter(col("file_id") === probeFileId).select("size", "hash")
+    val members = dups.join(broadcast(probe), Seq("size", "hash"))
+    val current = snapshot
+      .join(members.select("file_id"), Seq("file_id"), "left_semi")
+      .select(col("file_id"), digest(col("content"), cfg).as("now_hash"))
+    members.join(current, Seq("file_id"), "left")
+      .withColumn("status",
+        when(col("file_id") === probeFileId, "SELF")
+          .when(excludePrefix.map(p =>
+            concat(col("repo"), lit("/"), col("path")).startsWith(p))
+            .getOrElse(lit(false)), "xxx")
+          .when(col("now_hash").isNull, "---")
+          .when(col("now_hash") === col("hash"), "DUP")
+          .otherwise("---"))
+      .select("file_id", "repo", "path", "status")
   }
 
   /** S8 — rm-shell projection: keep the first (lowest-id) member of each
@@ -224,12 +298,12 @@ object ExactDedup {
   def fileStatuses(scanned: DataFrame, snapshot: DataFrame, probeFileId: Long,
                    excludePrefix: Option[String] = None,
                    cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val d = duplicates(scanned, cfg)
-    val probe = d.filter(col("file_id") === probeFileId).select("size", "hash")
-    val members = d.join(broadcast(probe), Seq("size", "hash"))
+    val members = probeSetMembers(scanFilter(scanned, cfg), probeFileId, cfg)
     // re-verify NOW: a member counts as DUP only if the snapshot still has
-    // this file_id with identical content (hash recomputed from snapshot)
+    // this file_id with identical content (hash recomputed from snapshot;
+    // only claimed members are re-hashed — semi-join first)
     val current = snapshot
+      .join(members.select("file_id"), Seq("file_id"), "left_semi")
       .select(col("file_id"), digest(col("content"), cfg).as("now_hash"))
     members.join(current, Seq("file_id"), "left")
       .withColumn("status",
