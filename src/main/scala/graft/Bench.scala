@@ -45,7 +45,8 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
       else try {
         "," + bench.Scaling.scalingReport(sfDir,
-          n = 8, mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "8").toInt)
+          n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt,
+          mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "8").toInt)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaling failed: ${e.getMessage}")
         "" // never lose the round's query timings to a scaling hiccup

@@ -93,11 +93,17 @@ object Scaling {
   /** Runs N and 4N, returns a json fragment. Efficiency = speedup / 4.
     *
     * Primary metric: the signature map stage at a compute-amortizing
-    * expansion (×128 ≈ 1.1M rows) — the per-row cost that dominates at
+    * expansion (×256 ≈ 2.3M rows) — the per-row cost that dominates at
     * 10^12-file scale. The LSH pair join is reported too, but at sandbox
     * scale (71k rows, sub-second shuffles) its wall-clock is scheduler
-    * overhead, not data — it says nothing about a 1000-executor shuffle. */
-  def scalingReport(sfDir: String, n: Int = 8, mult: Int = 8): String = {
+    * overhead, not data — it says nothing about a 1000-executor shuffle.
+    *
+    * Default pair is 4 → 16 cores: this 32-core host is SHARED, with
+    * co-tenant load routinely exceeding 10 — a 32-thread leg then measures
+    * host contention (32 threads cannot find 32 free cores), not the
+    * engine. 4 → 16 stays inside the free-core envelope at typical load;
+    * both core counts are reported verbatim in the JSON. */
+  def scalingReport(sfDir: String, n: Int = 4, mult: Int = 8): String = {
     val sigMult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "256").toInt
     val (rows1, sec1) = measure(n, sfDir, sigMult, "sig")
     val (rows2, sec2) = measure(4 * n, sfDir, sigMult, "sig")
@@ -123,7 +129,8 @@ object Scaling {
         val (rows, sec) = measure(cores.toInt, sfDir, mult)
         println(f"""{"cores":$cores,"rows":$rows,"sec":$sec%.3f}""")
       case None =>
-        println("{" + scalingReport(sfDir, 8, mult) + "}")
+        println("{" + scalingReport(sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt, mult) + "}")
     }
   }
 }

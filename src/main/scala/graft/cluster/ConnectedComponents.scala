@@ -56,9 +56,12 @@ object ConnectedComponents {
       val propagated = e
         .join(labels.withColumnRenamed("file_id", "src"), Seq("src"))
         .select(col("dst").as("file_id"), col("cluster_id"))
+      // pre-partition by the grouping key at nParts: HashPartitioning
+      // satisfies the aggregation's required distribution, so the round
+      // costs ONE exchange, not groupBy-shuffle + repartition
       val next = labels.union(propagated)
+        .repartition(nParts, col("file_id"))
         .groupBy("file_id").agg(min("cluster_id").as("cluster_id"))
-        .repartition(nParts)
         .localCheckpoint(true)
       val s = labelSum(next)
       labels = next

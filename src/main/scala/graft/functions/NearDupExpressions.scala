@@ -17,6 +17,18 @@ object HashConstants {
   /** Universal-hash coefficients for permutation j (Knuth multiplier). */
   def coeffA(j: Int): Long = ((j + 1L) * 2654435761L) % (P - 1) + 1
   def coeffB(j: Int): Long = ((j + 1L) * 2654435497L) % P
+
+  /** v mod P for 0 ≤ v < 2^62 without division: P is Mersenne (2^31 ≡ 1
+    * mod P), so folding the high bits onto the low bits preserves the
+    * residue. Two folds bound the value below 2P; one conditional subtract
+    * finishes. Bit-identical to `v % P` — the signature hot loop runs this
+    * numPerms × shingles times per row, and 64-bit division was its
+    * dominant cost. */
+  @inline final def modP(v: Long): Long = {
+    var r = (v & P) + (v >>> 31)
+    r = (r & P) + (r >>> 31)
+    if (r >= P) r - P else r
+  }
 }
 
 /** 128-perm MinHash signature over a row's distinct-shingle key array —
@@ -70,7 +82,7 @@ object MinHashSignature {
       val x = xs(i) % P
       var j = 0
       while (j < numPerms) {
-        val h = (a(j) * x + b(j)) % P
+        val h = HashConstants.modP(a(j) * x + b(j))
         if (h < sig(j)) sig(j) = h
         j += 1
       }
@@ -268,8 +280,8 @@ object ShingleKeys {
     var count = 0
     var i = 0
     while (i < m) {
-      val x = (cps(i) * B1 + cps(i + 1) * B2 + cps(i + 2) * B3 +
-        cps(i + 3) * B4 + cps(i + 4)) % P
+      val x = HashConstants.modP(cps(i) * B1 + cps(i + 1) * B2 + cps(i + 2) * B3 +
+        cps(i + 3) * B4 + cps(i + 4))
       var idx = (x ^ (x >>> 16)).toInt & (cap - 1)
       var found = false
       while (!found && table(idx) != -1L) {
@@ -385,11 +397,11 @@ object MinHashContent {
     var i = 0
     val m = n - 4
     while (i < m) {
-      val x = (cps(i) * 4294967296L + cps(i + 1) * 16777216L +
-        cps(i + 2) * 65536L + cps(i + 3) * 256L + cps(i + 4)) % P
+      val x = HashConstants.modP(cps(i) * 4294967296L + cps(i + 1) * 16777216L +
+        cps(i + 2) * 65536L + cps(i + 3) * 256L + cps(i + 4))
       var j = 0
       while (j < numPerms) {
-        val h = (a(j) * x + b(j)) % P
+        val h = HashConstants.modP(a(j) * x + b(j))
         if (h < sig(j)) sig(j) = h
         j += 1
       }

@@ -68,6 +68,34 @@ object EventsStream {
       .start()
   }
 
+  /** EXACT distinct users per window as a stream: streaming aggregation
+    * cannot hold countDistinct state, but stateful deduplication CAN feed an
+    * aggregation — dropDuplicates on (window, event_type, user_id) followed
+    * by count(*) is the standard exact-distinct streaming plan. Closes the
+    * batch ≡ stream gap on n_users (the main stream reports
+    * approx_count_distinct; PipelineSpec asserts both). */
+  def streamUsersExact(spark: SparkSession, sfDir: String,
+                       queryName: String): StreamingQuery = {
+    val events = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("window_start", expr("(unix_timestamp(ts) div 300) * 300"))
+      .dropDuplicates("window_start", "event_type", "user_id")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_timestamp(col("window.start")).cast("long").as("window_start"),
+        col("event_type"), col("n_users"))
+    agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stateful sessionization: per-user sessions split on > `gapMinutes`
     * idle gaps — flatMapGroupsWithState territory in continuous mode; batch
     * form uses the session-window built-in shape via lag/cumsum. */

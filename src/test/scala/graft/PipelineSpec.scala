@@ -78,6 +78,30 @@ class PipelineSpec extends SparkSpec {
       .select("window_start", "event_type", "n_events", "value_cents")
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
+    // the n_users column is EXPLICITLY excluded above: the main stream
+    // reports approx_count_distinct (streaming aggs can't hold exact
+    // distinct state) — assert the approximation is within HLL tolerance
+    val joined = spark.table("events_agg_test")
+      .select(col("window_start"), col("event_type"), col("n_users_approx"))
+      .join(EventsStream.batch(spark, sf)
+        .select(col("window_start"), col("event_type"), col("n_users")),
+        Seq("window_start", "event_type"))
+    assert(joined.count() > 0)
+    val offTolerance = joined.filter(
+      abs(col("n_users_approx") - col("n_users")) >
+        greatest(col("n_users") * 0.15, lit(2.0))).count()
+    assert(offTolerance == 0, "approx_count_distinct outside 15% of exact")
+  }
+
+  test("streaming EXACT distinct users (dedup→agg) equals batch countDistinct") {
+    val q = EventsStream.streamUsersExact(spark, sf, "events_users_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("events_users_test")
+    val batch = EventsStream.batch(spark, sf)
+      .select("window_start", "event_type", "n_users")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
   }
 
   test("sessions: no session spans a gap larger than the threshold") {
