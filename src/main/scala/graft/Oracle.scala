@@ -184,6 +184,16 @@ object Oracle {
         |  (SELECT content FROM corpus WHERE file_id = 1000000) AS equal"""
         .stripMargin),
 
+    "q_one_fs" -> c(
+      """SELECT c.file_id, c.repo, c.path, c."commit", c.size,
+        |       sha256(c.content) AS hash, s.set_size
+        |FROM (SELECT * FROM corpus
+        |      WHERE repo IN ('mirror', 'mirror2') AND size >= 1) c
+        |JOIN (SELECT size, sha256(content) AS hash, count(*) AS set_size
+        |      FROM corpus WHERE repo IN ('mirror', 'mirror2') AND size >= 1
+        |      GROUP BY 1, 2 HAVING count(*) >= 2) s
+        |  ON c.size = s.size AND sha256(c.content) = s.hash""".stripMargin),
+
     "q_stats" -> c(
       """SELECT
         |  (SELECT count(*) FROM corpus WHERE size >= 1) AS files_scanned,

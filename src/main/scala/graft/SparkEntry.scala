@@ -77,6 +77,11 @@ object SparkEntry {
     // A6: direct two-file compare
     "q_cmp_two" -> ((s, dir) =>
       ExactDedup.compareTwo(Tables.corpus(s, dir), 0L, 1000000L)),
+    // F5/S1: scan restricted to named roots (one-file-system semantics +
+    // multiple --path roots; reference src/scan.c:327-333,440-452)
+    "q_one_fs" -> ((s, dir) =>
+      ExactDedup.duplicates(Tables.corpus(s, dir),
+        cfg.copy(repos = Seq("mirror", "mirror2")))),
 
     // — near-dup tier (north_rule: MinHash-LSH + SimHash + LCS + CC) —
     "q_reps" -> ((s, dir) =>

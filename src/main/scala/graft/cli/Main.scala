@@ -35,12 +35,6 @@ import graft.query.Report
   */
 object Main {
 
-  /** The db format version + staleness budget, the analogues of dupd's meta
-    * version check and db_warn_age_seconds
-    * (/root/reference/src/dbops.c:260-291, src/main.c:88). */
-  val DbVersion = "graft-1"
-  val StaleAfterMs: Long = 3L * 24 * 3600 * 1000
-
   def main(args: Array[String]): Unit = {
     val op = args.headOption.getOrElse("help")
     // one-token boolean flags vs two-token valued flags: consume accordingly
@@ -76,26 +70,17 @@ object Main {
     val cfg = DedupConfig(
       minSize = opts.get("minsize").map(_.toLong).getOrElse(1L),
       includeHidden = opts.contains("hidden"),
-      hashAlg = opts.getOrElse("alg", "sha256"))
+      hashAlg = opts.getOrElse("alg", "sha256"),
+      // --repos a,b = multiple --path roots + one-file-system (F5/S1)
+      repos = opts.get("repos").map(_.split(",").toSeq).getOrElse(Nil))
     val cutP = opts.get("cut")
     def corpus = Tables.corpus(spark, dataDir)
 
     /** Open a stored scan db: meta version + staleness checks
       * (/root/reference/src/dbops.c:244-293). */
     def openDb(dir: String): DataFrame = {
-      try {
-        val meta = spark.read.parquet(s"$dir/_meta").head()
-        val ver = meta.getAs[String]("version")
-        if (ver != DbVersion)
-          sys.error(s"db at $dir has version $ver, expected $DbVersion — re-run scan")
-        val age = System.currentTimeMillis() - meta.getAs[Long]("dbtime")
-        if (age > StaleAfterMs)
-          System.err.println(s"[graft] WARNING: db is ${age / 86400000L} days old; " +
-            "results may not reflect the current data (re-run scan)")
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          System.err.println(s"[graft] WARNING: no meta table at $dir (${e.getMessage})")
-      }
+      graft.state.DbMeta.check(spark, dir)
+        .foreach(w => System.err.println(s"[graft] WARNING: $w"))
       spark.read.parquet(s"$dir/duplicates")
     }
 
@@ -121,10 +106,7 @@ object Main {
         val out = opts.getOrElse("out", "/tmp/graft_db")
         val d = dupsDf
         d.write.mode("overwrite").parquet(s"$out/duplicates")
-        Seq((DbVersion, System.currentTimeMillis(), cfg.minSize,
-          cfg.includeHidden, cfg.hashAlg))
-          .toDF("version", "dbtime", "minsize", "hidden", "alg")
-          .write.mode("overwrite").parquet(s"$out/_meta")
+        graft.state.DbMeta.write(spark, out, cfg)
         // S9 — append counters to --stats-file (src/stats.c:183-201)
         opts.get("stats-file").foreach { f =>
           val s = ExactDedup.stats(corpus, cfg).head()

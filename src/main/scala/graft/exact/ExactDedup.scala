@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   *   src/hash.c:258-278): "sha256" (default invariant per input_hint),
   *   "md5", "sha1", "sha512", or "xxh64" (Spark's xxhash64 — NOT
   *   byte-compatible with the reference's seed-1 xxHash, same role only). */
+/** @param repos scan roots — the reference's multiple `--path` roots
+  *   (/root/reference/src/scan.c:440-452, max 10) and the one-file-system
+  *   filter F5 (/root/reference/src/scan.c:327-333: never cross a device
+  *   boundary): in the table model a repo IS the device/root, so
+  *   restricting the scan to named repos is both operators. Empty = all. */
 final case class DedupConfig(
     minSize: Long = 1L,
     prefixLen: Int = 64,
     includeHidden: Boolean = false,
-    hashAlg: String = "sha256")
+    hashAlg: String = "sha256",
+    repos: Seq[String] = Nil)
 
 /** dupd's exact-duplicate detection as a staged, Spark-native cascade.
   *
@@ -56,9 +62,13 @@ object ExactDedup {
   def notHidden(path: Column): Column =
     !(path.startsWith(".") || path.contains("/."))
 
-  /** F1 + F2 applied up front; Catalyst pushes both into the scan. */
+  /** F1 + F2 + F5/S1-roots applied up front; Catalyst pushes all three into
+    * the scan (repo is the partition column at Iceberg scale — the isin
+    * prunes partitions, the exact analogue of never crossing st_dev). */
   def scanFilter(files: DataFrame, cfg: DedupConfig): DataFrame = {
-    val f = files.filter(col("size") >= cfg.minSize)
+    val f0 = if (cfg.repos.isEmpty) files
+             else files.filter(col("repo").isin(cfg.repos: _*))
+    val f = f0.filter(col("size") >= cfg.minSize)
     if (cfg.includeHidden) f else f.filter(notHidden(col("path")))
   }
 

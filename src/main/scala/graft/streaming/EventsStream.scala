@@ -96,6 +96,74 @@ object EventsStream {
       .start()
   }
 
+  /** Per-user session state carried across micro-batches: the currently
+    * open session (start/end epoch seconds, event count). */
+  case class OpenSession(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Long,
+                        session_end: Long, n_events: Long)
+
+  /** TRUE streaming sessionization via flatMapGroupsWithState: per-user
+    * custom state (the open session), closed sessions emitted as soon as a
+    * gap > `gapMinutes` is observed, the final open session flushed by
+    * event-time timeout once the watermark passes its gap horizon. The
+    * KeyValueGroupedDataset custom-state path of the training-pipeline
+    * streaming tier; the batch twin is [[sessions]] (lag/cumsum).
+    *
+    * Within a micro-batch events arrive unordered — the handler sorts the
+    * batch's timestamps before folding them into the state (per-user
+    * per-batch volumes are bounded; out-of-order ACROSS batches is handled
+    * by the watermark exactly as in the windowed agg). */
+  def streamSessions(spark: SparkSession, sfDir: String, queryName: String,
+                     gapMinutes: Int = 30): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapSec = gapMinutes * 60L
+    val events = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("ts"))
+
+    val out = events.as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[OpenSession]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed the open session's gap horizon: close it
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.end, s.n))
+          } else {
+            val ts = rows.map(_._2).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption.orNull
+            ts.foreach { t =>
+              cur match {
+                case null => cur = OpenSession(t, t, 1)
+                case s if t - s.end > gapSec =>
+                  closed += SessionOut(uid, s.start, s.end, s.n)
+                  cur = OpenSession(t, t, 1)
+                case s => cur = OpenSession(s.start, math.max(s.end, t), s.n + 1)
+              }
+            }
+            state.update(cur)
+            // flush the open session once the watermark passes end + gap
+            state.setTimeoutTimestamp((cur.end + gapSec) * 1000)
+            closed.iterator
+          }
+      }
+    out.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stateful sessionization: per-user sessions split on > `gapMinutes`
     * idle gaps — flatMapGroupsWithState territory in continuous mode; batch
     * form uses the session-window built-in shape via lag/cumsum. */

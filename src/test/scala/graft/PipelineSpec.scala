@@ -104,6 +104,28 @@ class PipelineSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) matches batch sessions") {
+    val q = EventsStream.streamSessions(spark, sf, "events_sessions_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("events_sessions_test")
+      .select("user_id", "session_start", "session_end", "n_events")
+    val batch = EventsStream.sessions(Tables.events(spark, sf))
+      .select("user_id", "session_start", "session_end", "n_events")
+    // every streamed (closed) session is a batch session...
+    assert(streamed.exceptAll(batch).count() == 0)
+    // ...and only sessions still open at end-of-stream (at most the LAST
+    // session per user, which the final watermark may not pass) may be
+    // missing — AvailableNow ends the stream at max event time
+    val missing = batch.exceptAll(streamed)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_start").as("session_start"))
+    assert(missing.join(lastPerUser, Seq("user_id", "session_start"), "left_anti")
+      .count() == 0)
+    // volume sanity: the overwhelming majority of sessions DID close + emit
+    assert(streamed.count() >= (batch.count() * 0.5).toLong)
+  }
+
   test("sessions: no session spans a gap larger than the threshold") {
     val events = Tables.events(spark, sf)
     val s = EventsStream.sessions(events, gapMinutes = 30)

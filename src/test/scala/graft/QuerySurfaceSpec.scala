@@ -48,6 +48,32 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(stored == live)
   }
 
+  test("db meta: version + dbtime round-trip, staleness warns, mismatch errors") {
+    import graft.state.DbMeta
+    val dir = java.nio.file.Files.createTempDirectory("graft_db").toString
+    DbMeta.write(spark, dir, cfg)
+    val m = DbMeta.read(spark, dir).get
+    assert(m.version == DbMeta.Version && m.alg == "sha256" && m.minsize == 1L)
+    // fresh db: no warnings
+    assert(DbMeta.check(spark, dir).isEmpty)
+    // 4-day-old db: staleness warning (db_warn_age_seconds analogue)
+    val old = DbMeta.check(spark, dir,
+      now = m.dbtime + 4L * 24 * 3600 * 1000)
+    assert(old.exists(_.contains("days old")))
+    // unknown version: hard error, like dupd's open_database
+    DbMeta.write(spark, dir, cfg)
+    val raw = spark.read.parquet(s"$dir/_meta")
+      .withColumn("version", org.apache.spark.sql.functions.lit("graft-99"))
+    raw.write.mode("overwrite").parquet(s"$dir/_meta2")
+    // move tampered meta into place
+    val fs = new java.io.File(dir)
+    new java.io.File(s"$dir/_meta").listFiles().foreach(_.delete())
+    new java.io.File(s"$dir/_meta").delete()
+    new java.io.File(s"$dir/_meta2").renameTo(new java.io.File(s"$dir/_meta"))
+    intercept[RuntimeException] { DbMeta.check(spark, dir) }
+    fs.deleteOnExit()
+  }
+
   test("stored-db verbose statuses re-verify against the CURRENT snapshot") {
     // snapshot lost the mirror2 repo: members from it must read '---'
     val snapshot = corpus.filter(col("repo") =!= "mirror2")
