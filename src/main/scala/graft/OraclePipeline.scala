@@ -158,6 +158,56 @@ object OraclePipeline {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |QUALIFY row_number() OVER w <= 5""".stripMargin,
 
+    // IVF ANN: centroids = every 50th vector (deterministic training stub),
+    // assignment = argmax r6-cosine (ties -> lower cid), probe 3 lists,
+    // exact top-5 within candidates — mirrors Ann.ivfTopK step for step
+    "q_ann_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id % 50 = 0
+        |), sc AS (
+        |  SELECT q.vec_id, c.cid,
+        |         floor(list_dot_product(q.v, c.cv) /
+        |               sqrt(list_dot_product(q.v, q.v) *
+        |                    list_dot_product(c.cv, c.cv)) * 1000000) / 1000000
+        |           AS ccos
+        |  FROM q CROSS JOIN cent c
+        |), assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY ccos DESC, cid) AS rn
+        |    FROM sc) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY ccos DESC, cid) AS rn
+        |    FROM sc WHERE vec_id < 10) WHERE rn <= 3
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.query_id
+        |), scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         floor(list_dot_product(qa.v, qb.v) /
+        |               sqrt(list_dot_product(qa.v, qa.v) *
+        |                    list_dot_product(qb.v, qb.v)) * 1000000) / 1000000
+        |           AS cos
+        |  FROM cand c
+        |  JOIN q qa ON qa.vec_id = c.query_id
+        |  JOIN q qb ON qb.vec_id = c.neighbor_id
+        |)
+        |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |       neighbor_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |QUALIFY row_number() OVER w <= 5""".stripMargin,
+
     "q_embed_norms" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  floor(sqrt(list_dot_product(

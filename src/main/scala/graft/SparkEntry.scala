@@ -157,6 +157,10 @@ object SparkEntry {
     // hyperplane signatures in SQL (plain modular arithmetic).
     "q_ann_lsh" -> ((s, dir) =>
       sim.Ann.lshTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+    // IVF ANN — coarse-quantizer lists + probed exact search (the second
+    // named scale path); centroid training stubbed deterministically
+    "q_ann_ivf" -> ((s, dir) =>
+      sim.Ann.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
     // — events: windowed agg (streaming-equivalent) + sessionization —
     "q_events_window" -> ((s, dir) =>

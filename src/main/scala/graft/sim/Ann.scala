@@ -91,6 +91,57 @@ object Ann {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: every
+    * vector is assigned to its nearest of K centroid lists (argmax cosine,
+    * computed map-side against the BROADCAST centroid set — K ≪ N); a query
+    * probes its `nProbe` nearest lists and searches exactly within them.
+    * At cluster scale the corpus table is clustered by `cid`, so a probe
+    * reads nProbe/K of the data — the IVF layout. Centroid "training" is a
+    * deterministic stub (every `centroidStep`-th vector stands in for a
+    * k-means run, which needs no new plumbing); assignment, probing, and
+    * list-local search are the real operator.
+    *
+    * Assignment aggregates with max_by over a struct key (partial-agg
+    * friendly — no N×K window shuffle); ordering ties break toward the
+    * lower centroid id in both engines. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              centroidStep: Int = 50, nProbe: Int = 3): DataFrame = {
+    val v = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nv", dotQ(col("qv"), col("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = v.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nv").as("cn"))
+    val scored = v.crossJoin(broadcast(cent))
+      .withColumn("ccos", graft.text.TextAnalysis.r6(
+        dotQ(col("qv"), col("cv")).cast("double") /
+          sqrt((col("nv") * col("cn")).cast("double"))))
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+    val probes = scored.filter(col("vec_id").isin(queryIds: _*))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cands = broadcast(probes)
+      .join(assign.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    cands
+      .join(v.select(col("vec_id").as("query_id"), col("qv").as("qa"), col("nv").as("na")),
+        Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("nv").as("nb")),
+        Seq("neighbor_id"))
+      .withColumn("cos", graft.text.TextAnalysis.r6(
+        dotQ(col("qa"), col("qb")).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** L2 norm (quantized, exact) per vector. */
   def norms(embeddings: DataFrame): DataFrame =
     embeddings

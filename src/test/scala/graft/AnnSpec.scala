@@ -41,6 +41,18 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.15, s"pathologically low recall $recall")
   }
 
+  test("IVF top-k ranks correctly within probed lists and reports recall") {
+    val ivf = Ann.ivfTopK(emb, 0L until 10L, 5)
+    val ivfPairs = ivf.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brutePairs.count(ivfPairs.contains).toDouble / brutePairs.size
+    info(f"IVF recall@5 vs brute force: $recall%.3f (K=10 lists, nProbe=3)")
+    assert(ivf.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
+    assert(recall > 0.15, s"pathologically low recall $recall")
+  }
+
   test("cosine dup pairs: a<b, above threshold, and LSH blocking recall vs exact") {
     val pairs = Ann.cosineDupPairs(emb, 0.40).cache()
     assert(pairs.filter(col("a") >= col("b")).count() == 0)
