@@ -13,8 +13,10 @@ object OracleNear {
     * dropped before pair generation (QUALIFY count OVER bucket <= cap) —
     * identical blocking in both engines at every scale factor.
     */
-  def nearCtes(cap: Int = graft.near.NearConfig().maxBucket): String =
+  def nearCtes(cap: Int = graft.near.NearConfig().maxBucket,
+               skMin: Int = graft.near.NearConfig().sketchMin): String =
     nearCtesRaw.replace("__CAP__", cap.toString)
+      .replace("__SKMIN__", skMin.toString)
 
   private val nearCtesRaw: String =
     """reps AS (
@@ -93,11 +95,23 @@ object OracleNear {
       |  -- deduplicating top-level UNIONs in non-recursive CTEs
       |  SELECT DISTINCT a, b FROM (
       |    SELECT a, b FROM lsh_pairs UNION ALL SELECT a, b FROM sim_pairs)
+      |), skagree AS (
+      |  -- byte-sketch prefilter twin (NearDup.verifiedPairsOf stage 1):
+      |  -- agreement count of signature LOW BYTES, cutoff = sketchMin
+      |  SELECT c.a, c.b,
+      |         CAST(sum(CASE WHEN sa.sig % 256 = sb.sig % 256
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      |  FROM cand c
+      |  JOIN sigs sa ON sa.file_id = c.a
+      |  JOIN sigs sb ON sb.file_id = c.b AND sb.j = sa.j
+      |  GROUP BY c.a, c.b
+      |), cand2 AS (
+      |  SELECT a, b FROM skagree WHERE agree >= __SKMIN__
       |), shc AS (
       |  SELECT file_id, count(*) AS n FROM shingles GROUP BY file_id
       |), inter AS (
       |  SELECT c.a, c.b, count(*) AS ni
-      |  FROM cand c
+      |  FROM cand2 c
       |  JOIN shingles s1 ON s1.file_id = c.a
       |  JOIN shingles s2 ON s2.file_id = c.b AND s1.x = s2.x
       |  GROUP BY c.a, c.b

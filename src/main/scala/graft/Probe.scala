@@ -19,8 +19,19 @@ object Probe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     val corpus = Tables.corpus(spark, sfDir)
-    t("neardup_clusters") { near.NearDup.clusters(corpus).count() }
-    t("all_clusters") { near.NearDup.allFileClusters(corpus).count() }
+    import graft.near.{NearConfig, NearDup}
+    val cfg = NearConfig()
+    // pipeline stage breakdown (each timed cold)
+    t("reps") { NearDup.representatives(corpus, cfg).count() }
+    t("signatures") {
+      val reps = NearDup.representatives(corpus, cfg)
+      NearDup.fastSignatures(reps, cfg).count()
+    }
+    t("lsh_pairs") { NearDup.lshPairs(corpus, cfg).count() }
+    t("simhash_pairs") { NearDup.simhashPairs(corpus, cfg).count() }
+    t("verified_pairs") { NearDup.verifiedPairs(corpus, cfg).count() }
+    t("neardup_clusters") { NearDup.clusters(corpus).count() }
+    t("all_clusters") { NearDup.allFileClusters(corpus).count() }
     spark.stop()
   }
 }

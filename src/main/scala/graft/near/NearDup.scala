@@ -33,6 +33,16 @@ final case class NearConfig(
     salts: Int = 16) {
   require(bands * rowsPerBand == numPerms, "bands × rowsPerBand must equal numPerms")
   require(simChunks * (simBits / simChunks) == simBits)
+  require(numPerms % 8 == 0, "byte sketch packs 8 signature bytes per long")
+
+  /** Recall-safe byte-sketch cutoff for candidate prefiltering: a pair at
+    * exactly `jaccardThreshold` has agree ~ Binomial(numPerms, j); cutting
+    * 5σ below the mean keeps true pairs with probability 1 - ~3e-7 (byte
+    * collisions only ADD agreement). At j=0.7, p=128: 89.6 - 5·5.2 → 63. */
+  def sketchMin: Int = {
+    val j = jaccardThreshold
+    math.max(0, (numPerms * j - 5 * math.sqrt(numPerms * j * (1 - j))).floor.toInt)
+  }
 }
 
 /** The mandated near-duplicate tier (BASELINE.json north_rule): shingling →
@@ -176,18 +186,37 @@ object NearDup {
     * lets composite queries (clusters, allFileClusters) share one reps scan
     * instead of re-deriving the whole upstream per stage. */
   def verifiedPairsOf(reps: DataFrame, cfg: NearConfig): DataFrame = {
-    val lsh = lshPairsOf(bandsOf(fastSignatures(reps, cfg), cfg), cfg)
+    val sigs = fastSignatures(reps, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = lshPairsOf(bandsOf(sigs, cfg), cfg)
     val sim = simhashPairsOf(simhashesOf(reps, cfg), cfg)
     val cands = lsh.union(sim).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shingle ARRAYS are needed only for verification — compute them for
-    // candidate members alone (a tiny subset at scale), not every rep
-    val candIds = cands.select(col("a").as("file_id"))
-      .union(cands.select(col("b").as("file_id"))).distinct()
+    // STAGE 1 — byte-sketch prefilter: SimHash chunk collisions over
+    // similar-vocabulary corpora admit orders of magnitude more candidates
+    // than survive exact verification (realistic boilerplate: 555k
+    // candidates → 2.3k verified at sf0.1). Estimating Jaccard from the
+    // 136-byte signature sketch FIRST means the wide shingle arrays are
+    // joined only to plausible pairs; cutoff is ≥5σ recall-safe
+    // (NearConfig.sketchMin) and deterministic, so the oracle applies the
+    // identical filter
+    val sk = sigs.select(col("file_id"),
+      NearDupFunctions.sketchBytes(col("sig")).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plausible = cands
+      .join(sk.select(col("file_id").as("a"), col("sk").as("sk_a")), Seq("a"))
+      .join(sk.select(col("file_id").as("b"), col("sk").as("sk_b")), Seq("b"))
+      .filter(NearDupFunctions.sketchAgree(col("sk_a"), col("sk_b")) >= cfg.sketchMin)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // STAGE 2 — exact verification: shingle ARRAYS are computed only for
+    // members of plausible pairs (a tiny subset at scale), never every rep
+    val candIds = plausible.select(col("a").as("file_id"))
+      .union(plausible.select(col("b").as("file_id"))).distinct()
     val sh = reps.join(candIds, Seq("file_id"), "left_semi")
       .select(col("file_id"), shingleKeys("content", cfg.shingleK).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands
+    plausible
       .join(sh.select(col("file_id").as("a"), col("shingles").as("sh_a")), Seq("a"))
       .join(sh.select(col("file_id").as("b"), col("shingles").as("sh_b")), Seq("b"))
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
