@@ -43,13 +43,23 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: exact-dedup scan throughput (files/sec over the corpus)
+    // headline: exact-dedup scan throughput (files/sec over the corpus).
+    // The raw corpus number is fixed-overhead-bound (~10 Spark stages over
+    // 9k files); the ×64 expansion (572k files, input materialized like a
+    // cluster's already-landed table) measures the amortized rate.
     spark.catalog.clearCache()
     val corpus = Tables.corpus(spark, sfDir)
     val nFiles = corpus.count()
     val tScan0 = System.nanoTime()
     exact.ExactDedup.duplicates(corpus).count()
     val scanSec = (System.nanoTime() - tScan0) / 1e9
+    spark.catalog.clearCache()
+    val big = bench.Scaling.expand(corpus.repartition(64), 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBig = big.count()
+    val tBig0 = System.nanoTime()
+    exact.ExactDedup.duplicates(big).count()
+    val bigSec = (System.nanoTime() - tBig0) / 1e9
     spark.stop()
 
     val scaling =
@@ -67,6 +77,6 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_files":$nFiles,"exact_scan_sec":$scanSec%.3f,"exact_files_per_sec":${nFiles / scanSec}%.1f$scaling}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_files":$nFiles,"exact_scan_sec":$scanSec%.3f,"exact_files_per_sec":${nFiles / scanSec}%.1f,"n_files_x64":$nBig,"exact_x64_sec":$bigSec%.3f,"exact_files_per_sec_amortized":${nBig / bigSec}%.1f$scaling}""")
   }
 }

@@ -19,6 +19,13 @@ object Probe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     val corpus = Tables.corpus(spark, sfDir)
+    // exact-dedup throughput at amortizing scale (×16 ≈ 143k files)
+    val big = bench.Scaling.expand(corpus.repartition(64), 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBig = big.count()
+    t(s"exact_dedup_x64 (n=$nBig)") { exact.ExactDedup.duplicates(big).count() }
+    t(s"exact_dedup_x64 warm") { exact.ExactDedup.duplicates(big).count() }
+    big.unpersist()
     import graft.near.{NearConfig, NearDup}
     val cfg = NearConfig()
     // pipeline stage breakdown (each timed cold)
