@@ -185,6 +185,34 @@ object OracleNear {
     "q_neardup_clusters" -> n(
       "SELECT file_id, cluster_id FROM clusters"),
 
+    // the composed cleaning pipeline: quality gate → exact collapse →
+    // near-dup clusters → one kept doc per cluster (+ merge count)
+    "q_pipeline_kept" -> (
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT d.doc_id AS file_id, 'docs' AS repo,
+         |         concat('d_', d.doc_id) AS path, 'c0' AS "commit",
+         |         d.lang, d.text AS content,
+         |         CAST(length(d.text) AS BIGINT) AS size
+         |  FROM documents d
+         |  JOIN ${OraclePipeline.qualityScoreSubquery} qq
+         |    ON qq.doc_id = d.doc_id
+         |  WHERE qq.quality_score >= 0.82
+         |),
+         |""".stripMargin + nearCtes() +
+      """, allc AS (
+        |  SELECT c.file_id, cl.cluster_id
+        |  FROM (SELECT file_id, size, sha256(content) AS h FROM corpus
+        |        WHERE size >= 5) c
+        |  JOIN (SELECT size, h, min(file_id) AS rep_id
+        |        FROM (SELECT file_id, size, sha256(content) AS h FROM corpus
+        |              WHERE size >= 5)
+        |        GROUP BY size, h) r
+        |    ON c.size = r.size AND c.h = r.h
+        |  JOIN clusters cl ON cl.file_id = r.rep_id
+        |)
+        |SELECT min(file_id) AS doc_id, count(*) AS n_merged
+        |FROM allc GROUP BY cluster_id""".stripMargin),
+
     // planted-skew fixture under a biting cap (64): the boilerplate family's
     // hot band buckets are dropped (logged on the Spark side), sub-cap
     // buckets — salted in Spark between hotBucket and the cap — still pair;

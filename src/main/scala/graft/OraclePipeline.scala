@@ -47,6 +47,38 @@ object OraclePipeline {
        |)
        |""".stripMargin
 
+  /** (doc_id, quality_score) as a parenthesized derived table — the shared
+    * formula of q_quality (TextAnalysis.qualityScore twin), reusable inside
+    * other oracles' CTE chains (q_pipeline_kept's quality gate). */
+  val qualityScoreSubquery: String =
+    """(WITH tokq AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> ''
+      |), rawq AS (
+      |  SELECT d.doc_id,
+      |    CAST(length(d.text) AS BIGINT) AS n_chars,
+      |    CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+      |    CAST(length(regexp_replace(d.text, '[^0-9]', '', 'g')) AS BIGINT) AS digits,
+      |    CAST(length(regexp_replace(d.text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct,
+      |    CAST(coalesce(s.stops, 0) AS BIGINT) AS stops
+      |  FROM documents d
+      |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM tokq GROUP BY doc_id) t
+      |    ON d.doc_id = t.doc_id
+      |  LEFT JOIN (SELECT doc_id, count(*) AS stops FROM tokq
+      |             WHERE tok IN ('the','a','of','to','and','in','is')
+      |             GROUP BY doc_id) s ON d.doc_id = s.doc_id
+      |)
+      |SELECT doc_id,
+      |  floor((floor(CAST(alpha AS DOUBLE) / n_chars * 1000000) / 1000000 * 0.5
+      |      + (1.0 - floor(CAST(digits AS DOUBLE) / n_chars * 1000000) / 1000000) * 0.2
+      |      + (1.0 - floor(CAST(punct AS DOUBLE) / n_chars * 1000000) / 1000000) * 0.2
+      |      + least(floor(CAST(stops AS DOUBLE) / greatest(n_tokens, 1) * 1000000) / 1000000
+      |              * 2.0, 1.0) * 0.1) * 1000000) / 1000000 AS quality_score
+      |FROM rawq)""".stripMargin
+
   private val langIdSql: String = {
     // argmax by (score desc, lang asc) — equivalent to TextAnalysis.langId's
     // strict-greater fold (earliest max wins; profiles are lang-sorted)

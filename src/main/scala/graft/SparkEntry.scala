@@ -162,6 +162,11 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) =>
       sim.Ann.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
+    // — the composed cleaning pipeline: quality gate → exact + near dedup →
+    //   one kept representative per cluster (pipeline.Clean) —
+    "q_pipeline_kept" -> ((s, dir) =>
+      pipeline.Clean.keptDocs(Tables.documents(s, dir), 0.82)),
+
     // — events: windowed agg (streaming-equivalent) + sessionization —
     "q_events_window" -> ((s, dir) =>
       streaming.EventsStream.batch(s, dir)),

@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.near.NearConfig
+import graft.text.TextAnalysis
+
+/** The canonical training-data cleaning pipeline, composed end to end from
+  * the engine's tiers: quality gate → exact dedup (collapse identical
+  * content) → near-dup clustering (MinHash-LSH + SimHash + sketch-prefiltered
+  * Jaccard) → keep ONE representative document per near-dup cluster.
+  * What a 100 TB pretraining-corpus pass actually runs; every stage is the
+  * already-oracle-checked operator, so the composition is too.
+  */
+object Clean {
+
+  /** Documents as the files shape the dedup tiers operate on. */
+  def docsAsFiles(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("file_id"),
+      lit("docs").as("repo"),
+      concat(lit("d_"), col("doc_id")).as("path"),
+      lit("c0").as("commit"),
+      col("lang"),
+      col("text").as("content"))
+      .withColumn("size", length(col("content")).cast("long"))
+
+  /** Kept documents: one per near-dup cluster among quality-passing docs.
+    * Output (doc_id, n_merged) — the representative's id and how many
+    * quality-passing documents its cluster absorbed. */
+  def keptDocs(documents: DataFrame, minQuality: Double = 0.82,
+               cfg: NearConfig = NearConfig()): DataFrame = {
+    val qualified = documents
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+    graft.near.NearDup.allFileClusters(docsAsFiles(qualified), cfg)
+      .groupBy("cluster_id")
+      .agg(min("file_id").as("doc_id"), count(lit(1)).as("n_merged"))
+      .select("doc_id", "n_merged")
+  }
+}
