@@ -171,6 +171,30 @@ object OraclePipeline {
         |      FROM documents WHERE length(text) >= 5)
         |GROUP BY doc_id""".stripMargin,
 
+    // repetition: 1 - distinct-5-gram-keys / total-5-grams (keys mod P,
+    // same definition as the engine's one-pass shingle expression)
+    "q_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (CAST(ascii(substr(text, CAST(i AS INT)    , 1)) AS BIGINT) * 4294967296 +
+        |     CAST(ascii(substr(text, CAST(i AS INT) + 1, 1)) AS BIGINT) * 16777216 +
+        |     CAST(ascii(substr(text, CAST(i AS INT) + 2, 1)) AS BIGINT) * 65536 +
+        |     CAST(ascii(substr(text, CAST(i AS INT) + 3, 1)) AS BIGINT) * 256 +
+        |     CAST(ascii(substr(text, CAST(i AS INT) + 4, 1)) AS BIGINT)) % 2147483647 AS x
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM documents WHERE length(text) >= 5)
+        |)
+        |SELECT d.doc_id,
+        |  CAST(length(d.text) - 4 AS BIGINT) AS n_grams,
+        |  CAST(c.nd AS BIGINT) AS n_distinct_grams,
+        |  floor((1.0 - CAST(c.nd AS DOUBLE) / (length(d.text) - 4)) * 1000000)
+        |    / 1000000 AS repetition_ratio
+        |FROM documents d
+        |JOIN (SELECT doc_id, count(DISTINCT x) AS nd FROM g GROUP BY doc_id) c
+        |  ON c.doc_id = d.doc_id
+        |WHERE length(d.text) >= 5""".stripMargin,
+
     "q_ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

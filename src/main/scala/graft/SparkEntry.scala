@@ -143,6 +143,13 @@ object SparkEntry {
           text.TextAnalysis.fingerprint("text").as("fp_min"),
           text.TextAnalysis.headHash(col("text")).as("fp_head"),
           text.TextAnalysis.fingerprintSet("text").as("fp_set"))),
+    // n-gram repetition ratio (boilerplate / degenerate-generation signal)
+    "q_repetition" -> ((s, dir) => {
+      val rcols = text.TextAnalysis.repetitionColumns("text")
+        .map { case (n, c) => c.as(n) }
+      Tables.documents(s, dir).filter(length(col("text")) >= 5)
+        .select(col("doc_id") +: rcols: _*)
+    }),
 
     // — training-pipeline tier: similarity search over embeddings —
     "q_ann_topk" -> ((s, dir) =>

@@ -114,4 +114,19 @@ object TextAnalysis {
         lit(math.pow(131.0, i).toLong)
     }.reduce(_ + _)
   }
+
+  /** N-gram repetition signal: 1 - distinct-5-gram / total-5-gram ratio.
+    * Boilerplate and degenerate (looping) generations repeat n-grams;
+    * clean prose approaches 0. Total 5-grams of an n-char text = n-4;
+    * distinct count reuses the one-pass shingle expression (which
+    * deduplicates), so the ratio is one map-side projection. */
+  def repetitionColumns(colName: String): Seq[(String, Column)] = {
+    val total = (length(col(colName)) - 4).cast("long")
+    val distinctN = size(graft.near.NearDup.shingleKeys(colName)).cast("long")
+    Seq(
+      "n_grams" -> total,
+      "n_distinct_grams" -> distinctN,
+      "repetition_ratio" -> r6(lit(1.0) -
+        distinctN.cast("double") / total.cast("double")))
+  }
 }
