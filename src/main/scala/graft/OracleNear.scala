@@ -211,7 +211,12 @@ object OracleNear {
         |  JOIN clusters cl ON cl.file_id = r.rep_id
         |)
         |SELECT min(file_id) AS doc_id, count(*) AS n_merged
-        |FROM allc GROUP BY cluster_id""".stripMargin),
+        |FROM allc GROUP BY cluster_id
+        |UNION ALL
+        |SELECT min(file_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_merged
+        |FROM (SELECT file_id, size, sha256(content) AS h FROM corpus
+        |      WHERE size < 5)
+        |GROUP BY size, h""".stripMargin),
 
     // planted-skew fixture under a biting cap (64): the boilerplate family's
     // hot band buckets are dropped (logged on the Spark side), sub-cap

@@ -105,18 +105,19 @@ object Scaling {
     * both core counts are reported verbatim in the JSON. */
   def scalingReport(sfDir: String, n: Int = 4, mult: Int = 8): String = {
     val sigMult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "256").toInt
-    var (rows1, sec1) = measure(n, sfDir, sigMult, "sig")
-    var (rows2, sec2) = measure(4 * n, sfDir, sigMult, "sig")
+    // TWO interleaved sessions per leg, min over both, UNCONDITIONALLY:
+    // a whole session can land in a contended co-tenant load window and
+    // min-of-reps within it cannot recover; the min across interleaved
+    // sessions approximates each leg's uncontended time. Running it always
+    // (not just when the number looks bad) keeps the estimator symmetric —
+    // a retry only on low readings would bias the metric upward.
+    val (rows1, sec1a) = measure(n, sfDir, sigMult, "sig")
+    val (rows2, sec2a) = measure(4 * n, sfDir, sigMult, "sig")
     require(rows1 == rows2)
-    // one retry when a leg hit a bad co-tenant load window: a whole session
-    // can land in a contended period, and min-of-reps within that session
-    // cannot recover; min across two sessions usually does
-    if ((sec1 / sec2) / 4.0 < 0.8) {
-      val (_, sec1b) = measure(n, sfDir, sigMult, "sig")
-      val (_, sec2b) = measure(4 * n, sfDir, sigMult, "sig")
-      sec1 = math.min(sec1, sec1b)
-      sec2 = math.min(sec2, sec2b)
-    }
+    val (_, sec1b) = measure(n, sfDir, sigMult, "sig")
+    val (_, sec2b) = measure(4 * n, sfDir, sigMult, "sig")
+    val sec1 = math.min(sec1a, sec1b)
+    val sec2 = math.min(sec2a, sec2b)
     val eff = (sec1 / sec2) / 4.0
     val (lrows1, lsec1) = measure(n, sfDir, mult, "lsh")
     val (_, lsec2) = measure(4 * n, sfDir, mult, "lsh")

@@ -154,7 +154,9 @@ object Main {
           // stored-scan lookup, re-verified against the CURRENT data (J2)
           case Some(_) => ExactDedup.fileStatusesIn(dupsDf, corpus, id,
             opts.get("exclude-path"), cfg)
-          case None => ExactDedup.fileLookup(corpus, id, cfg)
+          // live path honors --exclude-path too (fileStatuses carries it)
+          case None => ExactDedup.fileStatuses(corpus, corpus, id,
+            opts.get("exclude-path"), cfg)
         }
         stream(res.orderBy("file_id"))(r =>
           f"${r.getString(3)}%8s: ${r.get(1)}/${r.get(2)}"); 0
@@ -186,11 +188,15 @@ object Main {
         val cached = opts.get("db").toSeq.flatMap(dir =>
           openDb(dir).filter(col("file_id") === id)
             .select("hash").limit(1).collect())
-        val h = cached.headOption.map(_.getString(0)).getOrElse {
+        val h = cached.headOption.map(_.getString(0)).orElse {
           corpus.filter(col("file_id") === id)
-            .select(ExactDedup.digest(col("content"), cfg)).head().getString(0)
+            .select(ExactDedup.digest(col("content"), cfg))
+            .collect().headOption.map(_.getString(0))
         }
-        println(h); 0
+        h match {
+          case Some(v) => println(v); 0
+          case None => System.err.println(s"no file with id $id"); 1
+        }
       case "cache" =>
         // dupd `cache --ls / --delete` (/root/reference/src/cache.c:33-55)
         val root = opts.getOrElse("checkpoint", "/tmp/graft_ckpt")

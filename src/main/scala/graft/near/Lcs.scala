@@ -29,8 +29,7 @@ object Lcs {
     val n = s.length
     val sa = new Array[Int](n)
     if (n == 0) return sa
-    require(n < (1 << 21),
-      s"suffix array packing supports < ${1 << 21} codepoints, got $n")
+    if (n >= (1 << 21)) return suffixArrayLarge(s)
     var rank = s.clone()
     var tmp = new Array[Int](n)
     val keys = new Array[Long](n)
@@ -57,6 +56,40 @@ object Lcs {
       }
       val t = rank; rank = tmp; tmp = t
       if (r == n - 1 || k >= n) return sa
+      k <<= 1
+    }
+    sa
+  }
+
+  /** Fallback for inputs past the 21-bit packing bound (≥ 2M codepoints):
+    * same prefix doubling, comparator sort over boxed indices — slower but
+    * correct at any size (candidate pairs that large are rare; the fast
+    * path handles all document-scale content). */
+  private def suffixArrayLarge(s: Array[Int]): Array[Int] = {
+    val n = s.length
+    var rank = s.clone()
+    var tmp = new Array[Int](n)
+    val sa = Array.tabulate(n)(identity)
+    var k = 1
+    while (true) {
+      def r2(i: Int): Int = if (i + k < n) rank(i + k) else -1
+      val boxed = sa.map(Integer.valueOf)
+      java.util.Arrays.sort(boxed, (x: Integer, y: Integer) => {
+        val c = Integer.compare(rank(x), rank(y))
+        if (c != 0) c else Integer.compare(r2(x), r2(y))
+      })
+      var i = 0
+      while (i < n) { sa(i) = boxed(i); i += 1 }
+      tmp(sa(0)) = 0
+      i = 1
+      while (i < n) {
+        val prev = sa(i - 1); val cur = sa(i)
+        val less = rank(prev) != rank(cur) || r2(prev) != r2(cur)
+        tmp(cur) = tmp(prev) + (if (less) 1 else 0)
+        i += 1
+      }
+      val t = rank; rank = tmp; tmp = t
+      if (rank(sa(n - 1)) == n - 1 || k >= n) return sa
       k <<= 1
     }
     sa

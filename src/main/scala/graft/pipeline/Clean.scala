@@ -27,14 +27,25 @@ object Clean {
 
   /** Kept documents: one per near-dup cluster among quality-passing docs.
     * Output (doc_id, n_merged) — the representative's id and how many
-    * quality-passing documents its cluster absorbed. */
+    * quality-passing documents its cluster absorbed.
+    *
+    * Documents too short to shingle (size < shingleK) cannot enter the
+    * near-dup tier, but a cleaning pipeline must not LOSE them: they are
+    * exact-deduplicated by (size, hash) and kept as their own clusters. */
   def keptDocs(documents: DataFrame, minQuality: Double = 0.82,
                cfg: NearConfig = NearConfig()): DataFrame = {
     val qualified = documents
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
-    graft.near.NearDup.allFileClusters(docsAsFiles(qualified), cfg)
+    val files = docsAsFiles(qualified)
+    val nearKept = graft.near.NearDup.allFileClusters(files, cfg)
       .groupBy("cluster_id")
       .agg(min("file_id").as("doc_id"), count(lit(1)).as("n_merged"))
       .select("doc_id", "n_merged")
+    val shortKept = files.filter(col("size") < cfg.shingleK)
+      .select(col("file_id"), col("size"), sha2(col("content"), 256).as("h"))
+      .groupBy("size", "h")
+      .agg(min("file_id").as("doc_id"), count(lit(1)).as("n_merged"))
+      .select("doc_id", "n_merged")
+    nearKept.unionAll(shortKept)
   }
 }

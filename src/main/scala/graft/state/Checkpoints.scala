@@ -43,16 +43,24 @@ object Checkpoints {
     }
   }
 
-  /** Buckets with a manifest row for this stage whose recorded lineage
-    * matches `lineageOf(bucket)` — stale rows (config or input drift) are
-    * ignored, so those buckets recompute. */
+  /** Buckets whose LATEST manifest row (manifest rows are append-only; the
+    * newest row describes what is actually on disk) matches
+    * `lineageOf(bucket)` — any older row is history of data since
+    * overwritten, so matching against it would serve wrong cached results
+    * (e.g. scan sha256 → scan md5 → scan sha256 again must recompute, not
+    * reuse the md5 bytes under the first run's still-present sha row). */
   def validBuckets(spark: SparkSession, root: String, stage: String,
                    nBuckets: Int, lineageOf: Int => String): Set[Int] = {
-    val recorded = readMetrics(spark, root)
+    import org.apache.spark.sql.expressions.Window
+    val latest = readMetrics(spark, root)
       .filter(col("stage") === stage)
-      .select("bucket", "lineage").distinct()
-      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
-    (0 until nBuckets).filter(b => recorded((b, lineageOf(b)))).toSet
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("bucket").orderBy(col("finished_at").desc)))
+      .filter(col("__rn") === 1)
+      .select("bucket", "lineage")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    (0 until nBuckets)
+      .filter(b => latest.get(b).contains(lineageOf(b))).toSet
   }
 
   /** Completion markers regardless of lineage (diagnostics / `cache ls`). */
@@ -121,20 +129,23 @@ object Checkpoints {
     * bucket is self-contained (and partition-prunable at Iceberg scale). */
   private def bucketOf(n: Int): Column = pmod(col("size"), n)
 
-  /** Fingerprint of one bucket's input slice: row count + an order-
-    * independent XOR of per-row hashes over the identity/version columns
-    * (XOR never overflows under ANSI arithmetic; rows are identity-unique so
-    * pair-cancellation needs a hash collision). One narrow pass (no
-    * content); drift in membership, size, or commit of any row in the
-    * bucket changes the fingerprint. */
-  def inputFingerprint(files: DataFrame, nBuckets: Int, bucket: Int): String = {
-    import org.apache.spark.sql.Row
-    val r: Row = files.filter(bucketOf(nBuckets) === bucket)
+  /** Fingerprints of EVERY bucket's input slice in ONE narrow pass (no
+    * content): row count + an order-independent XOR of per-row hashes over
+    * the identity/version columns (XOR never overflows under ANSI
+    * arithmetic; rows are identity-unique so pair-cancellation needs a hash
+    * collision). Drift in membership, size, or commit of any row in a
+    * bucket changes that bucket's fingerprint. Buckets with no rows get the
+    * empty fingerprint. */
+  def inputFingerprints(files: DataFrame, nBuckets: Int): Map[Int, String] = {
+    val rows = files
+      .groupBy(bucketOf(nBuckets).cast("int").as("__b"))
       .agg(
-        count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("file_id"), col("size"), col("commit"))), lit(0L)))
-      .head()
-    s"n=${r.getLong(0)}:x=${r.getLong(1)}"
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("file_id"), col("size"), col("commit"))),
+          lit(0L)).as("x"))
+      .collect()
+      .map(r => r.getInt(0) -> s"n=${r.getLong(1)}:x=${r.getLong(2)}").toMap
+    (0 until nBuckets).map(b => b -> rows.getOrElse(b, "n=0:x=0")).toMap
   }
 
   /** Checkpointed exact-dedup scan: duplicates per size-hash bucket.
@@ -147,10 +158,9 @@ object Checkpoints {
     // config must never mix with stored buckets
     val cfgLineage = s"exact:v1:minSize=${cfg.minSize}:prefixLen=${cfg.prefixLen}:" +
       s"hidden=${cfg.includeHidden}:alg=${cfg.hashAlg}:nBuckets=$nBuckets"
-    // fingerprints computed once up front (nBuckets narrow aggregates); at
-    // cluster scale this is one pass over Iceberg manifests, not data
-    val fps: Map[Int, String] =
-      (0 until nBuckets).map(b => b -> inputFingerprint(files, nBuckets, b)).toMap
+    // all fingerprints from one narrow aggregate pass; at cluster scale
+    // this is one pass over Iceberg manifests, not data
+    val fps: Map[Int, String] = inputFingerprints(files, nBuckets)
     runStage(spark, root, "exact", nBuckets,
       b => s"$cfgLineage:fp(${fps(b)})", onlyBuckets) { b =>
       graft.exact.ExactDedup.duplicates(

@@ -70,10 +70,16 @@ object EventsStream {
 
   /** EXACT distinct users per window as a stream: streaming aggregation
     * cannot hold countDistinct state, but stateful deduplication CAN feed an
-    * aggregation — dropDuplicates on (window, event_type, user_id) followed
-    * by count(*) is the standard exact-distinct streaming plan. Closes the
+    * aggregation — dedup on (window, event_type, user_id) followed by
+    * count(*) is the standard exact-distinct streaming plan. Closes the
     * batch ≡ stream gap on n_users (the main stream reports
-    * approx_count_distinct; PipelineSpec asserts both). */
+    * approx_count_distinct; PipelineSpec asserts both).
+    * dropDuplicatesWithinWatermark (not plain dropDuplicates) so the dedup
+    * state is EVICTABLE once the watermark passes — plain dropDuplicates on
+    * a subset without the event-time column keeps one state row per
+    * (window, type, user) forever, an unbounded-state leak on a real
+    * stream; a duplicate arriving past the watermark belongs to an
+    * already-closed window anyway. */
   def streamUsersExact(spark: SparkSession, sfDir: String,
                        queryName: String): StreamingQuery = {
     val events = spark.readStream
@@ -83,7 +89,7 @@ object EventsStream {
     val agg = events
       .withWatermark("ts", "10 minutes")
       .withColumn("window_start", expr("(unix_timestamp(ts) div 300) * 300"))
-      .dropDuplicates("window_start", "event_type", "user_id")
+      .dropDuplicatesWithinWatermark("window_start", "event_type", "user_id")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_users"))
       .select(unix_timestamp(col("window.start")).cast("long").as("window_start"),

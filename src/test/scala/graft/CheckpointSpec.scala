@@ -75,6 +75,18 @@ class CheckpointSpec extends SparkSpec {
       tsBefore(r.getInt(r.fieldIndex("bucket")))))
   }
 
+  test("config REVERT does not resurrect stale buckets (latest manifest row wins)") {
+    val root = freshRoot()
+    // sha256 → md5 → sha256: the third run must NOT reuse the md5 bytes on
+    // disk just because the first run's sha row still sits in the manifest
+    Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)
+    Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg.copy(hashAlg = "md5"))
+    val again = Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)
+    val direct = ExactDedup.duplicates(corpus, cfg)
+    assert(again.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(again).count() == 0)
+  }
+
   test("metrics carry stage lineage and per-bucket rows/bytes") {
     val root = freshRoot()
     Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)
