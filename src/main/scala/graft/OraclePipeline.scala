@@ -49,7 +49,12 @@ object OraclePipeline {
 
   /** (doc_id, quality_score) as a parenthesized derived table — the shared
     * formula of q_quality (TextAnalysis.qualityScore twin), reusable inside
-    * other oracles' CTE chains (q_pipeline_kept's quality gate). */
+    * other oracles' CTE chains (q_pipeline_kept's quality gate).
+    *
+    * KEEP IN SYNC with BOTH TextAnalysis.qualityScore and the q_quality SQL
+    * below — the weights (0.5/0.2/0.2/0.1), the floor-scaling, and the
+    * stopword list must match in all three places or q_pipeline_kept's gate
+    * desynchronizes from q_quality while each still passes alone. */
   val qualityScoreSubquery: String =
     """(WITH tokq AS (
       |  SELECT doc_id, tok FROM (
