@@ -219,7 +219,8 @@ object OraclePipeline {
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |QUALIFY row_number() OVER w <= 5""".stripMargin,
 
-    // IVF ANN: centroids = every 50th vector (deterministic training stub),
+    // IVF ANN: centroids = the 16 lowest hash-ranked vec_ids (fixed-K
+    // deterministic training sample — K independent of corpus size),
     // assignment = argmax r6-cosine (ties -> lower cid), probe 3 lists,
     // exact top-5 within candidates — mirrors Ann.ivfTopK step for step
     "q_ann_ivf" ->
@@ -229,7 +230,10 @@ object OraclePipeline {
         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         |  FROM embeddings
         |), cent AS (
-        |  SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id % 50 = 0
+        |  SELECT vec_id AS cid, v AS cv FROM q
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY (vec_id % 2147483647) * 2654435761 % 2147483647, vec_id)
+        |    <= 16
         |), sc AS (
         |  SELECT q.vec_id, c.cid,
         |         floor(list_dot_product(q.v, c.cv) /
@@ -279,11 +283,17 @@ object OraclePipeline {
 
     // LSH-blocked cosine dedup: candidates share ≥1 hyperplane bucket
     // (identical blocking to Ann.cosineDupPairs at tables=16, bits=4),
-    // exact quantized cosine ≥ 0.40 within candidates
+    // exact quantized cosine ≥ 0.40 within candidates. The QUALIFY mirrors
+    // the engine's Salting.bucketPairs cap (maxBucket=4096): buckets over
+    // the cap generate no pairs in EITHER engine (salting itself is a
+    // result-invariant plan rewrite, so it has no oracle footprint).
     "q_cosine_pairs" -> (lshSigCte(16, 4) +
-      """, cand AS (
+      """, sigsk AS (
+        |  SELECT * FROM sigs
+        |  QUALIFY count(*) OVER (PARTITION BY t, sig) <= 4096
+        |), cand AS (
         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-        |  FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig
+        |  FROM sigsk l JOIN sigsk r ON l.t = r.t AND l.sig = r.sig
         |  WHERE l.vec_id < r.vec_id
         |)
         |SELECT c.a, c.b,

@@ -96,20 +96,30 @@ object Ann {
     * computed map-side against the BROADCAST centroid set — K ≪ N); a query
     * probes its `nProbe` nearest lists and searches exactly within them.
     * At cluster scale the corpus table is clustered by `cid`, so a probe
-    * reads nProbe/K of the data — the IVF layout. Centroid "training" is a
-    * deterministic stub (every `centroidStep`-th vector stands in for a
-    * k-means run, which needs no new plumbing); assignment, probing, and
-    * list-local search are the real operator.
+    * reads nProbe/K of the data — the IVF layout.
+    *
+    * Centroid "training" is a deterministic hash-rank sample of FIXED size
+    * `nLists` — K is a config constant chosen independently of the corpus
+    * (256–4096 on a real cluster), so assignment is O(N·K) work against a
+    * bounded broadcast at any scale. (An earlier every-Nth-vector scheme
+    * made K grow with N — O(N²/step) assignment and an unbounded broadcast,
+    * a 100 TB scale-killer.) The hash rank (vec_id·2654435761 mod P) is a
+    * stand-in for k-means‖ that both engines reproduce exactly; the pick is
+    * a distributed top-K (TakeOrdered over ids only), never a full sort.
     *
     * Assignment aggregates with max_by over a struct key (partial-agg
     * friendly — no N×K window shuffle); ordering ties break toward the
     * lower centroid id in both engines. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              centroidStep: Int = 50, nProbe: Int = 3): DataFrame = {
+              nLists: Int = 16, nProbe: Int = 3): DataFrame = {
     val v = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nv", dotQ(col("qv"), col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cent = v.filter(col("vec_id") % centroidStep === 0)
+    // deterministic fixed-K sample: the nLists lowest hash-ranked vec_ids
+    // ((id mod P)·2654435761 stays < 2^63 — exact in both engines)
+    val cent = v
+      .withColumn("__hk", (col("vec_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L))
+      .orderBy(col("__hk"), col("vec_id")).limit(nLists)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nv").as("cn"))
     val scored = v.crossJoin(broadcast(cent))
       .withColumn("ccos", graft.text.TextAnalysis.r6(
@@ -149,17 +159,37 @@ object Ann {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         graft.text.TextAnalysis.r6(sqrt(dotQ(col("qv"), col("qv")).cast("double"))).as("norm_q"))
 
+  /** Bucket width that keeps expected hyperplane-bucket population near
+    * `targetBucket` as the corpus grows: bits ≈ log2(n / target). The
+    * embedding tier's blocking discipline matches the text tier's — at 100×
+    * the data, pass `bits = bitsFor(n)` so buckets stay bounded instead of
+    * each holding n/2^bits members. */
+  def bitsFor(n: Long, targetBucket: Int = 512): Int =
+    math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n / math.max(1, targetBucket))))
+
   /** Embedding-cosine near-dup pairs, LSH-blocked: candidates are pairs
     * sharing at least one random-hyperplane bucket (equi-join on
     * (table, signature) — never an all-pairs product); exact quantized
     * cosine ≥ threshold verifies within candidates. This IS the operator's
     * semantics (blocked, like the text tier's MinHash-LSH): the bucket join
     * is the 100 TB path, and the oracle reproduces the identical blocking.
-    * Recall rises with `tables` and falls with `bits`; `bits` should grow
-    * ~log2(corpus) at scale (16×4 ⇒ 0.82 recall at cos 0.40 on the 500-vector
-    * fixture, measured vs the all-pairs baseline in AnnSpec). */
+    *
+    * The bucket self-join goes through [[graft.skew.Salting.bucketPairs]] —
+    * the same cap/salt discipline as the text tier: buckets over `maxBucket`
+    * are dropped with a log line (a bucket holding a large corpus fraction
+    * is all-pairs-shaped work with no discriminative signal), buckets over
+    * `hotBucket` take the salted two-phase join so one hot bucket's
+    * quadratic work spreads across `salts` tasks.
+    *
+    * Recall rises with `tables` and falls with `bits`; at scale pass
+    * `bits = bitsFor(n)` so bucket population stays bounded (16×4 ⇒ 0.82
+    * recall at cos 0.40 on the 500-vector fixture, measured vs the
+    * all-pairs baseline in AnnSpec). */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double,
-                     tables: Int = 16, bits: Int = 4): DataFrame = {
+                     tables: Int = 16, bits: Int = 4,
+                     maxBucket: Int = 4096, hotBucket: Int = 512,
+                     salts: Int = 16): DataFrame = {
     val v = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nv", dotQ(col("qv"), col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -168,9 +198,9 @@ object Ann {
         graft.functions.NearDupFunctions.lshSignatures(col("qv"), tables, bits))
       .select(col("vec_id"), posexplode(col("sigs")))
       .select(col("vec_id"), col("pos").as("t"), col("col").as("sig"))
-    val cands = buckets.select(col("t"), col("sig"), col("vec_id").as("a"))
-      .join(buckets.select(col("t"), col("sig"), col("vec_id").as("b")), Seq("t", "sig"))
-      .filter(col("a") < col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = graft.skew.Salting.bucketPairs(buckets, Seq("t", "sig"),
+      "vec_id", Nil, maxBucket, hotBucket, salts)
       .select("a", "b").distinct()
     // vectors fetched per candidate (a tiny subset at scale), norms reused
     cands

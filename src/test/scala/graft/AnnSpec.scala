@@ -48,7 +48,7 @@ class AnnSpec extends SparkSpec {
     val brutePairs = brute.select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brutePairs.count(ivfPairs.contains).toDouble / brutePairs.size
-    info(f"IVF recall@5 vs brute force: $recall%.3f (K=10 lists, nProbe=3)")
+    info(f"IVF recall@5 vs brute force: $recall%.3f (K=16 fixed hash-ranked lists, nProbe=3)")
     assert(ivf.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
     assert(recall > 0.15, s"pathologically low recall $recall")
   }
@@ -68,5 +68,31 @@ class AnnSpec extends SparkSpec {
     val recall = blocked.size.toDouble / exact.size
     info(f"LSH-blocked cosine dedup recall vs exact: $recall%.3f (tables=16, bits=4)")
     assert(recall > 0.5, s"pathologically low recall $recall")
+  }
+
+  test("planted hot embedding bucket: salted join equals plain, cap drops it") {
+    // 200 copies of vector 0 under fresh ids: identical vectors share EVERY
+    // (table, signature) bucket — the embedding analogue of the text tier's
+    // boilerplate family (SkewSpec). Cap/salting must behave identically.
+    val cols = Seq("vec_id", "embedding", "label").map(col)
+    val planted = emb.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(200).toDF("i"))
+      .select((col("i") + 9000000L).as("vec_id") +: cols.tail: _*)
+    val skewed = emb.select(cols: _*).unionAll(planted).cache()
+    def pairs(maxBucket: Int, hot: Int, salts: Int): Set[(Long, Long)] =
+      Ann.cosineDupPairs(skewed, 0.40,
+        maxBucket = maxBucket, hotBucket = hot, salts = salts)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(0, 0, 1)
+    // the family floods its buckets: its C(200,2)-ish pair set is present
+    assert(plain.count { case (a, b) => a >= 9000000L && b >= 9000000L } > 19000)
+    // salting is a result-invariant plan rewrite
+    val salted = pairs(0, 8, 4)
+    assert(salted == plain)
+    // a biting cap drops the hot buckets (deterministically, both engines)
+    val capped = pairs(64, 8, 4)
+    assert(capped.subsetOf(plain))
+    assert(capped.size < plain.size, "cap=64 must bite on the planted family")
+    skewed.unpersist()
   }
 }
