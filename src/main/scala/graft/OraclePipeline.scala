@@ -384,6 +384,31 @@ object OraclePipeline {
         |CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
         |LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = b.bin""".stripMargin,
 
+    // WAV decode twin: the engine synthesizes a RIFF/WAVE container per doc
+    // (PCM16 mono, rate 8000+(id%8)*1000, sample = byte*257-32768) and
+    // decodes it with a real chunk-walking parser; the oracle recomputes the
+    // expected stats straight from the text (ASCII docs: char == byte)
+    "q_mm_wav" ->
+      """WITH sm AS (
+        |  SELECT doc_id,
+        |         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 257
+        |           - 32768 AS v
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)
+        |)
+        |SELECT d.doc_id,
+        |  CAST(8000 + (d.doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(length(d.text) AS BIGINT) AS n_samples,
+        |  CAST(coalesce(a.s, 0) AS BIGINT) AS pcm_sum,
+        |  CAST(coalesce(a.mn, 0) AS BIGINT) AS pcm_min,
+        |  CAST(coalesce(a.mx, 0) AS BIGINT) AS pcm_max
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+        |           FROM sm GROUP BY doc_id) a ON a.doc_id = d.doc_id""".stripMargin,
+
     // frame sampling plumbing: payload split into 4 equal byte slices,
     // step = max(n/4, 1), frame i exists while i*step < n, trailing bytes
     // beyond 4*step dropped (mirrors Multimodal.sampleFrames)

@@ -193,7 +193,14 @@ object SparkEntry {
       mm.Multimodal.sampleFrames(s,
         mm.Multimodal.asMedia(Tables.documents(s, dir)), 4).toDF()
         .select(col("doc_id"), col("frame_idx"),
-          octet_length(col("frame_bytes")).cast("long").as("frame_n_bytes")))
+          octet_length(col("frame_bytes")).cast("long").as("frame_n_bytes"))),
+    // the REAL decode path: synthesized RIFF/WAVE containers parsed back by
+    // a genuine chunk-walking PCM16 reader (graft.mm.Multimodal.Wav); the
+    // oracle recomputes the expected sample stats from the generative
+    // formula — exact integers, hash-comparable
+    "q_mm_wav" -> ((s, dir) =>
+      mm.Multimodal.decodeWavs(s,
+        mm.Multimodal.asWavMedia(s, Tables.documents(s, dir))).toDF())
   )
 
   def oracleSql: Map[String, String] =

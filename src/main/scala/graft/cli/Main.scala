@@ -18,10 +18,12 @@ import graft.query.Report
   *   report    text/csv/json report (--format, --cut, --minsize)
   *   uniques | dups | ls    file classification listings; `ls` lists EVERY
   *             file with its status (/root/reference/src/report.c:485-542)
-  *   file      one file's dup set (--id N), re-verified vs the current data
+  *   file      one file's dup set (--id N or --path repo/relpath, like
+  *             `dupd file PATH`), re-verified vs the current data
   *   refresh   drop vanished members (--drop-repo simulates deletions)
   *   validate  exit 1 if any set's members diverge (src/report.c:607-679)
-  *   rmsh      rm-shell script on stdout
+  *   rmsh      rm-shell script on stdout (--link / --hardlink replace each
+  *             removed file with a sym/hard link to the kept member)
   *   near      near-dup verified pairs to --out
   *   clusters  near-dup clusters to --out
   *   hash      per-row sha256 of one file (--id N); with --db, read-through
@@ -29,9 +31,10 @@ import graft.query.Report
   *   cache     ls | delete on a --checkpoint root (src/cache.c:33-55)
   *
   * Flags: --minsize N (F2/F7), --cut PREFIX (C8), --format text|csv|json,
-  * --hidden (F1), --out DIR, --db DIR (query a stored scan instead of
-  * rescanning — the dupd scan/query split), --checkpoint DIR --buckets N
-  * (resumable scan), --stats-file F (S9 append sink).
+  * --hidden (F1), --hardlink-is-unique (F8 — link-identity rows collapse to
+  * one physical instance before dedup), --out DIR, --db DIR (query a stored
+  * scan instead of rescanning — the dupd scan/query split), --checkpoint DIR
+  * --buckets N (resumable scan), --stats-file F (S9 append sink).
   */
 object Main {
 
@@ -39,7 +42,7 @@ object Main {
     val op = args.headOption.getOrElse("help")
     // one-token boolean flags vs two-token valued flags: consume accordingly
     // (sliding(2,2) misaligned everything after a bare --hidden)
-    val booleanFlags = Set("hidden")
+    val booleanFlags = Set("hidden", "link", "hardlink", "hardlink-is-unique")
     val opts = {
       val m = scala.collection.mutable.Map.empty[String, String]
       var i = 1
@@ -78,13 +81,37 @@ object Main {
       // --repos a,b = multiple --path roots + one-file-system (F5/S1)
       repos = opts.get("repos").map(_.split(",").toSeq).getOrElse(Nil))
     val cutP = opts.get("cut")
-    def corpus = Tables.corpus(spark, dataDir)
+    def rawCorpus = Tables.corpus(spark, dataDir)
+    // --hardlink-is-unique (HLUQ, /root/reference/src/options.conf:8,
+    // readlist.c:269-297): rows sharing a link identity collapse to one
+    // physical instance BEFORE any dedup stage sees them
+    def corpus: DataFrame =
+      if (opts.contains("hardlink-is-unique"))
+        rawCorpus.join(
+          ExactDedup.hardlinkUnique(rawCorpus, cfg).select("file_id"),
+          Seq("file_id"), "left_semi")
+      else rawCorpus
 
     /** Open a stored scan db: meta version + staleness checks
-      * (/root/reference/src/dbops.c:244-293). */
+      * (/root/reference/src/dbops.c:244-293), plus a warning when the db's
+      * recorded scan config differs from the flags of THIS invocation — a
+      * `hash --alg md5` against a sha256-scanned db would otherwise silently
+      * answer with the stored algorithm's digests. */
     def openDb(dir: String): DataFrame = {
       graft.state.DbMeta.check(spark, dir)
         .foreach(w => System.err.println(s"[graft] WARNING: $w"))
+      graft.state.DbMeta.read(spark, dir).foreach { m =>
+        val diffs = Seq(
+          (opts.contains("alg") && m.alg != cfg.hashAlg) ->
+            s"db scanned with --alg ${m.alg}, requested ${cfg.hashAlg}",
+          (opts.contains("minsize") && m.minsize != cfg.minSize) ->
+            s"db scanned with --minsize ${m.minsize}, requested ${cfg.minSize}",
+          (m.hidden != cfg.includeHidden) ->
+            s"db scanned with hidden=${m.hidden}, requested ${cfg.includeHidden}")
+        diffs.collect { case (true, msg) => msg }.foreach(msg =>
+          System.err.println(s"[graft] WARNING: $msg — stored results reflect " +
+            "the scan-time config; re-run scan to change it"))
+      }
       spark.read.parquet(s"$dir/duplicates")
     }
 
@@ -125,7 +152,7 @@ object Main {
         val s = sets(opts.get("minsize").map(_.toLong).getOrElse(0L))
         opts.getOrElse("format", "text") match {
           case "csv" => Report.csv(s).foreach(println)
-          case "json" => println(Report.json(s))
+          case "json" => Report.json(s).foreach(println)
           case _ => Report.text(s).foreach(println)
         }
         0
@@ -149,7 +176,21 @@ object Main {
           .select("file_id", "repo", "path", "status").orderBy("file_id")
         stream(all)(r => f"${r.getString(3)}%9s: ${r.get(1)}/${r.get(2)}"); 0
       case "file" =>
-        val id = opts.getOrElse("id", "0").toLong
+        // probe by --id, or by --path repo/relative/path (the reference's
+        // `dupd file PATH`, /root/reference/src/report.c:467-483 — path is
+        // the user-facing identity in the table model)
+        val idOpt: Option[Long] = opts.get("path") match {
+          case Some(rp) =>
+            val (r, p) = rp.span(_ != '/')
+            corpus.filter(col("repo") === r && col("path") === p.stripPrefix("/"))
+              .select("file_id").limit(1)
+              .collect().headOption.map(_.getLong(0))
+          case None => Some(opts.getOrElse("id", "0").toLong)
+        }
+        val id = idOpt.getOrElse {
+          System.err.println(s"no file at path ${opts("path")}")
+          spark.stop(); sys.exit(1)
+        }
         val res = opts.get("db") match {
           // stored-scan lookup, re-verified against the CURRENT data (J2)
           case Some(_) => ExactDedup.fileStatusesIn(dupsDf, corpus, id,
@@ -172,7 +213,13 @@ object Main {
         println(if (bad == 0) "validate: OK" else s"validate: $bad sets diverged")
         if (bad == 0) 0 else 1
       case "rmsh" =>
-        Report.rmShell(sets()).foreach(println); 0
+        // --link / --hardlink: recreate each removed path as a symlink /
+        // hardlink to the kept member (options.conf:69-70, tests/test.26-28)
+        val mode =
+          if (opts.contains("hardlink")) Report.RmshLink.Hard
+          else if (opts.contains("link")) Report.RmshLink.Soft
+          else Report.RmshLink.NoLink
+        Report.rmShell(sets(), mode).foreach(println); 0
       case "near" =>
         val out = opts.getOrElse("out", "/tmp/graft_neardup_pairs")
         NearDup.verifiedPairs(corpus, NearConfig()).write.mode("overwrite").parquet(out)

@@ -3,18 +3,32 @@ package graft.cluster
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative hash-min label propagation over
-  * DataFrame joins — the clustering step of the near-dup tier (north_rule;
-  * no GraphX/RDD per input_hint). Each vertex starts labeled with its own
-  * id; every iteration each vertex takes the min label in its closed
-  * neighborhood; converges in O(component diameter) rounds.
+/** Connected components over DataFrame joins by the alternating
+  * large-star / small-star algorithm (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14) — the clustering step of the near-dup
+  * tier (north_rule; no GraphX/RDD per input_hint).
   *
-  * Scale notes: labels monotonically decrease, so convergence is detected by
-  * the (cheap, aggregate-only) sum of labels reaching a fixpoint.
-  * `localCheckpoint` truncates plan lineage each round — without it the
-  * iterated join tree grows exponentially and Catalyst analysis dominates.
-  * Near-dup components are small (dup families), so rounds stay in single
-  * digits; for adversarial long-chain graphs swap in large-star/small-star.
+  * Each operation rewrites the edge set with two shuffles (a per-node min
+  * aggregation + an equi-join back):
+  *
+  *   - large-star: every node connects its strictly-larger neighbors to the
+  *     minimum of its closed neighborhood — long paths halve;
+  *   - small-star: every node connects its smaller-or-equal neighbors (and
+  *     itself) to that minimum — local stars flatten.
+  *
+  * The alternation converges in O(log² n) rounds to a forest of stars, each
+  * centered at its component's MINIMUM node id — so cluster_id = min
+  * reachable id, identical to label propagation's fixpoint. Unlike the
+  * hash-min label propagation this replaced (O(component diameter) rounds —
+  * a planted 600-node chain needs 600 rounds, and a round cap silently
+  * returns wrong labels), star rounds are logarithmic in the worst case:
+  * the 600-chain converges in 7 rounds (ConnectedComponentsSpec).
+  *
+  * Convergence is detected on the canonical edge set's (count, xor-of-hash)
+  * signature — one tiny aggregate over the just-checkpointed frame, no
+  * recomputation. `localCheckpoint` truncates plan lineage each round;
+  * without it the iterated join tree grows exponentially and Catalyst
+  * analysis dominates.
   */
 object ConnectedComponents {
 
@@ -22,53 +36,88 @@ object ConnectedComponents {
     * @param edges    two columns `a`, `b` (undirected, any orientation)
     * @return (file_id, cluster_id) — cluster_id = min file_id reachable
     */
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runWithStats(vertices, edges, maxIter)._1
+
+  /** [[run]], also returning the number of (large-star, small-star) rounds —
+    * the adversarial-fixture spec asserts the logarithmic round count. */
+  def runWithStats(vertices: DataFrame, edges: DataFrame,
+                   maxIter: Int = 50): (DataFrame, Int) = {
     val spark = vertices.sparkSession
-    var e = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+
+    // canonical undirected edges: hi > lo, self-loops dropped, deduped
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(true)
 
-    // size the iteration shuffles to the data: each round is 2 shuffles of
-    // the (id, label) relation — at a few thousand edges, 32-way exchanges
-    // are pure scheduler overhead; at billions, the caller's default
-    // parallelism is right. ~1M edge-endpoints per partition.
+    // size the iteration shuffles to the data: at a few thousand edges,
+    // 32-way exchanges are pure scheduler overhead; at billions, the
+    // caller's default parallelism is right. ~1M edges per partition.
     val nParts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism,
       (e.count() / 1000000L).toInt + 1))
     if (nParts < spark.sparkContext.defaultParallelism)
       e = e.repartition(nParts).localCheckpoint(true)
 
-    // convergence check: labels decrease monotonically, so the label sum is
-    // a strict fixpoint detector. Summed as decimal(38,0): a long sum would
-    // overflow (and throw, under ANSI) at 10^12 vertices × 2^63-scale ids.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+    // edge-set signature: (count, xor of per-edge hashes) — set equality up
+    // to a 2^-64 collision, over the checkpointed blocks (cheap)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
 
-    var labels = vertices.select(col("file_id"), col("file_id").as("cluster_id"))
-      .repartition(nParts)
-      .localCheckpoint(true)
-    var prevSum = labelSum(labels)
+    /** large-star: for each node u (over symmetrized edges), connect every
+      * neighbor v > u to m(u) = min(Γ(u) ∪ {u}). Output stays canonical:
+      * v > u ≥ m(u). */
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(in.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    /** small-star: for each node u (canonical edges point down, so Γ(u) here
+      * is u's smaller neighbors), connect them AND u to m(u) = min. */
+    def smallStar(in: DataFrame): DataFrame = {
+      val m = in.groupBy("hi").agg(min(col("lo")).as("m"))
+      in.join(m, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(m.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    var prev = sig(e)
     var iter = 0
-    var converged = false
+    var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
-      val propagated = e
-        .join(labels.withColumnRenamed("file_id", "src"), Seq("src"))
-        .select(col("dst").as("file_id"), col("cluster_id"))
-      // pre-partition by the grouping key at nParts: HashPartitioning
-      // satisfies the aggregation's required distribution, so the round
-      // costs ONE exchange, not groupBy-shuffle + repartition
-      val next = labels.union(propagated)
-        .repartition(nParts, col("file_id"))
-        .groupBy("file_id").agg(min("cluster_id").as("cluster_id"))
+      e = smallStar(largeStar(e))
+        .repartition(nParts, col("hi"))
         .localCheckpoint(true)
-      val s = labelSum(next)
-      labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      val s = sig(e)
+      converged = s == prev
+      prev = s
       iter += 1
     }
-    labels
+    if (!converged)
+      System.err.println(s"[graft.cc] NOT converged after $maxIter rounds " +
+        "— labels may be partial (raise maxIter)")
+
+    // converged state is a forest of stars (hi -> component min): every
+    // non-min vertex appears exactly once as hi
+    val labels = vertices
+      .join(e.select(col("hi").as("file_id"), col("lo").as("__c")),
+        Seq("file_id"), "left")
+      .select(col("file_id"),
+        coalesce(col("__c"), col("file_id")).as("cluster_id"))
+    (labels, iter)
   }
 }

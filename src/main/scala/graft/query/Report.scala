@@ -1,19 +1,24 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The reference's report sinks (S7/S8, /root/reference/src/report.c):
   * text / CSV / JSON renderings of the duplicates relation, with the
   * `--cut` prefix strip, report-side min-size filter (F7), ascending
   * total order (O1) and the `Total used:` footer
   * (/root/reference/src/report.c:288-386), plus the rm-shell script sink
-  * (/root/reference/src/report.c:549-600).
+  * with optional symlink/hardlink replacement
+  * (/root/reference/src/report.c:549-600, options.conf:69-70).
   *
   * Renderers take the SET-level relation (each_size, set_size, members,
-  * paths) and emit strings; at scale the per-set rows stream through
-  * mapPartitions-free column expressions and only the final footer is an
-  * aggregate.
+  * paths) and return `Iterator[String]` built on `toLocalIterator` — the
+  * driver holds one partition of rendered sets at a time, never the whole
+  * relation (dupd streams per set; a .collect() at 10^8 duplicate sets is a
+  * driver OOM). Order is the relation's own orderBy (global sort = range
+  * partitioning, so partition-ordered iteration is globally ordered);
+  * footers accumulate during iteration and are appended lazily.
   */
 object Report {
 
@@ -44,51 +49,95 @@ object Report {
     f"Total used: $total bytes ($kib%.2f KiB, $mib%.2f MiB, $gib%.2f GiB)"
   }
 
+  private def setRows(sets: DataFrame) =
+    sets.select("total", "each_size", "paths").toLocalIterator().asScala
+
   /** Text format: header per set + two-space-indented members
-    * (src/report.c:332-369). Returns the report lines in order. */
-  def text(sets: DataFrame): Seq[String] = {
-    val rows = sets.select("total", "each_size", "paths").collect()
-    val body = rows.flatMap { r =>
-      val total = r.getLong(0); val each = r.getLong(1)
-      val paths = r.getSeq[String](2)
-      s"$total total bytes used by duplicates of size $each:" +:
-        paths.map("  " + _)
+    * (src/report.c:332-369), streamed; the Total footer accumulates during
+    * iteration (the `++` operand is by-name, so it is rendered only after
+    * the body is exhausted). */
+  def text(sets: DataFrame): Iterator[String] = {
+    var total = 0L
+    val body = setRows(sets).flatMap { r =>
+      total += r.getLong(0)
+      Iterator(s"${r.getLong(0)} total bytes used by duplicates of size ${r.getLong(1)}:") ++
+        r.getSeq[String](2).iterator.map("  " + _)
     }
-    body.toSeq :+ footer(rows.map(_.getLong(0)).sum)
+    body ++ Iterator.single(footer(total))
   }
 
   /** CSV format: total,each_size,"p1","p2",... with `""` escaping
-    * (src/report.c:55-64,304-306). */
-  def csv(sets: DataFrame): Seq[String] =
-    sets.select("total", "each_size", "paths").collect().map { r =>
+    * (src/report.c:55-64,304-306), streamed. */
+  def csv(sets: DataFrame): Iterator[String] =
+    setRows(sets).map { r =>
       val quoted = r.getSeq[String](2)
         .map(p => "\"" + p.replace("\"", "\"\"") + "\"")
       (Seq(r.getLong(0).toString, r.getLong(1).toString) ++ quoted).mkString(",")
-    }.toSeq
+    }
 
-  /** JSON format: [ total, each_size, "p1", ... ] per set in one array
-    * (src/report.c:88-100,340-343). */
-  def json(sets: DataFrame): String = {
+  /** JSON format: [ total, each_size, "p1", ... ] per set in one top-level
+    * array (src/report.c:88-100,340-343), streamed line by line (trailing
+    * commas need one row of lookahead, not the whole result). */
+  def json(sets: DataFrame): Iterator[String] = {
     def q(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val rows = sets.select("total", "each_size", "paths").collect().map { r =>
-      val parts = Seq(r.getLong(0).toString, r.getLong(1).toString) ++
-        r.getSeq[String](2).map(q)
-      parts.mkString("[ ", ", ", " ]")
+    val rows = setRows(sets).map { r =>
+      (Seq(r.getLong(0).toString, r.getLong(1).toString) ++
+        r.getSeq[String](2).map(q)).mkString("[ ", ", ", " ]")
     }
-    rows.mkString("[\n", ",\n", "\n]")
+    val withCommas: Iterator[String] = new Iterator[String] {
+      def hasNext: Boolean = rows.hasNext
+      def next(): String = {
+        val r = rows.next()
+        if (rows.hasNext) r + "," else r
+      }
+    }
+    Iterator.single("[") ++ withCommas ++ Iterator.single("]")
   }
 
-  /** rm-shell sink (S8): keep the first member of each set, `rm` the rest —
-    * one script line per removal (src/report.c:549-600). */
-  def rmShell(sets: DataFrame): Seq[String] = {
-    val rows = sets.select("paths").collect()
-    ("#!/bin/sh" +: rows.flatMap { r =>
+  /** rm-shell replacement modes (dupd `rmsh --link` / `--hardlink`,
+    * /root/reference/src/report.c:580-594, options.conf:69-70): after each
+    * `rm`, re-create the removed path as a symlink / hardlink to the kept
+    * member. */
+  sealed trait RmshLink
+  object RmshLink {
+    case object NoLink extends RmshLink
+    case object Soft extends RmshLink
+    case object Hard extends RmshLink
+  }
+
+  /** rm-shell sink (S8): warning header, then per set a KEEPING banner and
+    * one `rm` (plus optional `ln`) line per removed member — the reference's
+    * script shape (/root/reference/src/report.c:563-594, tests/test.26-28).
+    * Paths are double-quoted with shell metacharacters escaped. */
+  def rmShell(sets: DataFrame, link: RmshLink = RmshLink.NoLink): Iterator[String] = {
+    def dq(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case '$' => "\\$"; case '`' => "\\`"
+      case c => c.toString
+    } + "\""
+    val header = Iterator(
+      "#!/bin/sh",
+      "#",
+      "# WARNING: Auto-generated to blindly delete duplicates.",
+      "# Only one file in each duplicate set is kept and it might not",
+      "# be the one you wanted! Review carefully before running this!",
+      "#",
+      "")
+    header ++ sets.select("paths").toLocalIterator().asScala.flatMap { r =>
       val paths = r.getSeq[String](0)
-      s"# keeping: ${paths.head}" +: paths.tail.map(p => s"rm '${p.replace("'", "'\\''")}'")
-    }).toSeq
+      val kept = paths.head
+      Iterator("", "#", s"# KEEPING: $kept", "#") ++
+        paths.tail.iterator.flatMap { p =>
+          Iterator(s"rm ${dq(p)}") ++ (link match {
+            case RmshLink.Soft => Iterator.single(s"ln -s ${dq(kept)} ${dq(p)}")
+            case RmshLink.Hard => Iterator.single(s"ln ${dq(kept)} ${dq(p)}")
+            case RmshLink.NoLink => Iterator.empty
+          })
+        }
+    }
   }
 }

@@ -39,23 +39,20 @@ object TextAnalysis {
     "fr" -> Seq("le", "et", "sort", "merge", "filter"),
     "zh" -> Seq("de", "shi", "hash", "batch", "vector"))
 
-  /** Per-language marker hit count; predicted = argmax (ties → lexicographic
-    * first). Pure expressions: one pass, no explode, no shuffle. */
+  /** Per-language marker hit counts (one custom one-pass expression per
+    * language — kept for diagnostics; [[langId]] computes ALL profiles in a
+    * single pass). */
   def langScores(c: Column): Seq[(String, Column)] =
     LangProfiles.map { case (lang, words) =>
-      lang -> words.map(w =>
-        size(filter(tokens(c), t => t === lit(w))).cast("long"))
-        .reduce(_ + _)
+      lang -> graft.functions.TextFunctions.wordSetCount(c, words)
     }
 
-  def langId(c: Column): Column = {
-    val scores = langScores(c)
-    // argmax by (score desc, lang asc): fold over a struct comparison
-    scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("lang")) }
-      .reduce((x, y) =>
-        when(y.getField("s") > x.getField("s"), y).otherwise(x))
-      .getField("lang")
-  }
+  /** Predicted language = argmax marker score (ties → lexicographic first,
+    * profiles are lang-sorted). One custom codegen'd expression: a single
+    * token walk scores every profile — the composed HOF form re-split and
+    * re-scanned the string once per marker word (~25 passes per row). */
+  def langId(c: Column): Column =
+    graft.functions.TextFunctions.langId(c, LangProfiles)
 
   /** Quality-signal columns: length, token stats, character-class ratios,
     * stopword ratio, and a composite score. */
@@ -67,8 +64,8 @@ object TextAnalysis {
     val alpha = length(regexp_replace(c, "[^A-Za-z]", "")).cast("long")
     val digits = length(regexp_replace(c, "[^0-9]", "")).cast("long")
     val punct = length(regexp_replace(c, "[A-Za-z0-9 ]", "")).cast("long")
-    val stops = Stopwords.map(w =>
-      size(filter(tokens(c), t => t === lit(w))).cast("long")).reduce(_ + _)
+    // one token walk for the whole stopword set (was one array scan per word)
+    val stops = graft.functions.TextFunctions.wordSetCount(c, Stopwords)
     val nCharsD = nChars.cast("double")
     val nToksD = greatest(nToks, lit(1L)).cast("double")
     Seq(

@@ -28,4 +28,38 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = cc(Seq(1L, 2L, 3L), Seq((3L, 1L), (2L, 3L)))
     assert(got.values.toSet == Set(1L))
   }
+
+  test("adversarial 600-node chain: correct labels in logarithmic rounds") {
+    // diameter-599 component — hash-min label propagation needs 599 rounds
+    // (and at any round cap below that silently returns WRONG labels);
+    // alternating star must converge in O(log^2 n)
+    val n = 600L
+    val verts = (1L to n).toDF("file_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = ConnectedComponents.runWithStats(verts, edges)
+    info(s"600-chain converged in $rounds alternating-star rounds")
+    assert(rounds <= 12, s"not logarithmic: $rounds rounds")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.toSet == Set(1L))
+  }
+
+  test("random graph matches a union-find oracle") {
+    // deterministic pseudo-random graph: 400 nodes, 300 edges
+    val n = 400
+    val edges = (0 until 300).map { i =>
+      val a = (i * 2654435761L) % n
+      val b = (i * 40503L + 7) % n
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    // union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = cc((0L until n.toLong), edges)
+    assert(got == want)
+  }
 }

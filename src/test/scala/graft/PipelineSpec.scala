@@ -68,6 +68,38 @@ class PipelineSpec extends SparkSpec {
     assert(joined.filter(col("n_frames") < 1 || col("n_frames") > 4).count() == 0)
   }
 
+  test("multimodal: WAV synth/decode roundtrip through a real RIFF parser") {
+    import Multimodal.Wav
+    val sample = docs.limit(50).select("doc_id", "text").collect()
+    val decoded = Multimodal.decodeWavs(spark,
+      Multimodal.asWavMedia(spark, docs.limit(50))).collect()
+      .map(i => i.doc_id -> i).toMap
+    sample.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val samples = bytes.map(b => Wav.sampleOf(b.toInt).toLong)
+      val got = decoded(id)
+      assert(got.sample_rate == 8000 + (id % 8) * 1000)
+      assert(got.n_channels == 1 && got.bits_per_sample == 16)
+      assert(got.n_samples == bytes.length)
+      assert(got.pcm_sum == samples.sum)
+      assert(got.pcm_min == (if (samples.isEmpty) 0L else samples.min))
+      assert(got.pcm_max == (if (samples.isEmpty) 0L else samples.max))
+    }
+    // the parser actually walks chunks: the synthesized container has an
+    // odd-sized LIST chunk (plus pad byte) BEFORE data, so a fixed-44-byte
+    // header slice would misread it
+    val wav = Wav.synthesize(3L, "hello wav world".getBytes("US-ASCII"))
+    assert(new String(wav.slice(36, 40), "US-ASCII") != "data")
+    // malformed containers are rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      Wav.decode(0L, "JUNKJUNKJUNKJUNKJUNK".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Wav.decode(3L, wav.dropRight(3)) // truncated data chunk
+    }
+  }
+
   test("streaming windowed agg matches the batch equivalent") {
     val q = EventsStream.stream(spark, sf, "events_agg_test")
     q.processAllAvailable()
