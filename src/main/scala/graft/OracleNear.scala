@@ -15,7 +15,11 @@ object OracleNear {
     */
   def nearCtes(cap: Int = graft.near.NearConfig().maxBucket,
                skMin: Int = graft.near.NearConfig().sketchMin): String =
-    nearCtesRaw.replace("__CAP__", cap.toString)
+    // cap <= 0 means UNLIMITED on the Spark side (Salting.bucketPairs);
+    // substituting 0 into `count(*) <= __CAP__` would instead drop EVERY
+    // bucket — map the sentinel to a cap no bucket can exceed
+    nearCtesRaw.replace("__CAP__",
+        (if (cap <= 0) Long.MaxValue else cap.toLong).toString)
       .replace("__SKMIN__", skMin.toString)
 
   private val nearCtesRaw: String =

@@ -123,17 +123,19 @@ object NearDup {
   }
 
   /** LSH candidate pairs: equi-join within (band_idx, band_key) buckets,
-    * a < b, deduped across bands. `maxBucket` caps pathological buckets. */
+    * a < b, deduped across bands. `maxBucket` caps pathological buckets.
+    * Standalone entry: materializes eagerly, then releases its caches. */
   def lshPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
-    lshPairsOf(bands(files, cfg), cfg)
+    graft.util.PersistScope.scoped(s => lshPairsOf(bands(files, cfg), cfg, s))
 
-  def lshPairsOf(bandsDf: DataFrame, cfg: NearConfig): DataFrame = {
+  def lshPairsOf(bandsDf: DataFrame, cfg: NearConfig,
+                 scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
     // persist: the bands frame feeds three consumers (bucket-size agg and
     // both sides of the self-join) — without it the whole upstream
     // (reps → shingles → signatures) re-executes per consumer
-    val b = bandsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = scope.persist(bandsDf)
     graft.skew.Salting.bucketPairs(b, Seq("band_idx", "band_key"), "file_id",
-      Nil, cfg.maxBucket, cfg.hotBucket, cfg.salts)
+      Nil, cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
       .distinct()
   }
 
@@ -150,19 +152,20 @@ object NearDup {
     * at least one chunk matches exactly → equi-join per chunk, then the
     * exact Hamming filter. */
   def simhashPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
-    simhashPairsOf(simhashes(files, cfg), cfg)
+    graft.util.PersistScope.scoped(s =>
+      simhashPairsOf(simhashes(files, cfg), cfg, s))
 
-  def simhashPairsOf(simhashesDf: DataFrame, cfg: NearConfig): DataFrame = {
+  def simhashPairsOf(simhashesDf: DataFrame, cfg: NearConfig,
+                     scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
     val w = cfg.simBits / cfg.simChunks
     val mask = (1L << w) - 1
-    val chunked = simhashesDf
+    val chunked = scope.persist(simhashesDf
       .select(col("file_id"), col("simhash"),
         posexplode(expr(
           s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
-      .select(col("file_id"), col("simhash"), col("pos").as("chunk_idx"), col("col").as("chunk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("file_id"), col("simhash"), col("pos").as("chunk_idx"), col("col").as("chunk")))
     graft.skew.Salting.bucketPairs(chunked, Seq("chunk_idx", "chunk"), "file_id",
-      Seq("simhash"), cfg.maxBucket, cfg.hotBucket, cfg.salts)
+      Seq("simhash"), cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
       .distinct()
       .filter(expr(s"bit_count(simhash_a ^ simhash_b) <= ${cfg.hammingMax}"))
       .select("a", "b")
@@ -177,21 +180,20 @@ object NearDup {
     * join) and Catalyst does not share non-exchange subplans across joins —
     * without the persist the corpus is re-scanned and re-shingled 4×. */
   def verifiedPairs(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
-    verifiedPairsOf(
-      representatives(files, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      cfg)
+    graft.util.PersistScope.scoped(s =>
+      verifiedPairsOf(s.persist(representatives(files, cfg)), cfg, s))
 
   /** Verified pairs from a precomputed (and caller-persisted) reps frame —
     * lets composite queries (clusters, allFileClusters) share one reps scan
-    * instead of re-deriving the whole upstream per stage. */
-  def verifiedPairsOf(reps: DataFrame, cfg: NearConfig): DataFrame = {
-    val sigs = fastSignatures(reps, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lsh = lshPairsOf(bandsOf(sigs, cfg), cfg)
-    val sim = simhashPairsOf(simhashesOf(reps, cfg), cfg)
-    val cands = lsh.union(sim).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * instead of re-deriving the whole upstream per stage. Intermediate
+    * persists go through `scope`; the composite entry releases them after
+    * its result is checkpointed. */
+  def verifiedPairsOf(reps: DataFrame, cfg: NearConfig,
+                      scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
+    val sigs = scope.persist(fastSignatures(reps, cfg))
+    val lsh = lshPairsOf(bandsOf(sigs, cfg), cfg, scope)
+    val sim = simhashPairsOf(simhashesOf(reps, cfg), cfg, scope)
+    val cands = scope.persist(lsh.union(sim).distinct())
     // STAGE 1 — byte-sketch prefilter: SimHash chunk collisions over
     // similar-vocabulary corpora admit orders of magnitude more candidates
     // than survive exact verification (realistic boilerplate: 555k
@@ -200,22 +202,19 @@ object NearDup {
     // joined only to plausible pairs; cutoff is ≥5σ recall-safe
     // (NearConfig.sketchMin) and deterministic, so the oracle applies the
     // identical filter
-    val sk = sigs.select(col("file_id"),
-      NearDupFunctions.sketchBytes(col("sig")).as("sk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val plausible = cands
+    val sk = scope.persist(sigs.select(col("file_id"),
+      NearDupFunctions.sketchBytes(col("sig")).as("sk")))
+    val plausible = scope.persist(cands
       .join(sk.select(col("file_id").as("a"), col("sk").as("sk_a")), Seq("a"))
       .join(sk.select(col("file_id").as("b"), col("sk").as("sk_b")), Seq("b"))
       .filter(NearDupFunctions.sketchAgree(col("sk_a"), col("sk_b")) >= cfg.sketchMin)
-      .select("a", "b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("a", "b"))
     // STAGE 2 — exact verification: shingle ARRAYS are computed only for
     // members of plausible pairs (a tiny subset at scale), never every rep
     val candIds = plausible.select(col("a").as("file_id"))
       .union(plausible.select(col("b").as("file_id"))).distinct()
-    val sh = reps.join(candIds, Seq("file_id"), "left_semi")
-      .select(col("file_id"), shingleKeys("content", cfg.shingleK).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = scope.persist(reps.join(candIds, Seq("file_id"), "left_semi")
+      .select(col("file_id"), shingleKeys("content", cfg.shingleK).as("shingles")))
     plausible
       .join(sh.select(col("file_id").as("a"), col("shingles").as("sh_a")), Seq("a"))
       .join(sh.select(col("file_id").as("b"), col("shingles").as("sh_b")), Seq("b"))
@@ -231,16 +230,15 @@ object NearDup {
     * verified-pair graph; singleton reps cluster with themselves. Output:
     * (file_id, cluster_id). */
   def clusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
-    clustersOf(
-      representatives(files, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      cfg)
+    graft.util.PersistScope.scoped(s =>
+      clustersOf(s.persist(representatives(files, cfg)), cfg, s))
 
   /** Clusters from a precomputed (caller-persisted) reps frame: reps feed
     * both the vertex set and the whole pair pipeline — one scan, not two. */
-  def clustersOf(reps: DataFrame, cfg: NearConfig): DataFrame = {
+  def clustersOf(reps: DataFrame, cfg: NearConfig,
+                 scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
     val verts = reps.select("file_id")
-    val edges = verifiedPairsOf(reps, cfg).select("a", "b")
+    val edges = verifiedPairsOf(reps, cfg, scope).select("a", "b")
       .localCheckpoint(true) // materialize once; CC iterates over it
     graft.cluster.ConnectedComponents.run(verts, edges)
   }
@@ -250,21 +248,19 @@ object NearDup {
     * for every scannable file. The whole query derives from ONE persisted
     * narrow scan — reps, the pair pipeline, and the member-expansion join
     * all share it (a second cascade re-run doubled this query's cost). */
-  def allFileClusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
-    val scanned = ExactDedup.scanFilter(files, DedupConfig())
-      .filter(col("size") >= cfg.shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val narrow = scanned
-      .select(col("file_id"), col("size"), sha2(col("content"), 256).as("hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repOf = narrow.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
-    val reps = scanned.join(
-      repOf.select(col("rep_id").as("file_id")), Seq("file_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repClusters = clustersOf(reps, cfg)
-      .select(col("file_id").as("rep_id"), col("cluster_id"))
-    narrow.join(repOf, Seq("size", "hash"))
-      .join(repClusters, Seq("rep_id"))
-      .select("file_id", "cluster_id")
-  }
+  def allFileClusters(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
+    graft.util.PersistScope.scoped { s =>
+      val scanned = s.persist(ExactDedup.scanFilter(files, DedupConfig())
+        .filter(col("size") >= cfg.shingleK))
+      val narrow = s.persist(scanned
+        .select(col("file_id"), col("size"), sha2(col("content"), 256).as("hash")))
+      val repOf = narrow.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
+      val reps = s.persist(scanned.join(
+        repOf.select(col("rep_id").as("file_id")), Seq("file_id"), "left_semi"))
+      val repClusters = clustersOf(reps, cfg, s)
+        .select(col("file_id").as("rep_id"), col("cluster_id"))
+      narrow.join(repOf, Seq("size", "hash"))
+        .join(repClusters, Seq("rep_id"))
+        .select("file_id", "cluster_id")
+    }
 }

@@ -111,10 +111,11 @@ object Ann {
     * friendly — no N×K window shuffle); ordering ties break toward the
     * lower centroid id in both engines. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nLists: Int = 16, nProbe: Int = 3): DataFrame = {
-    val v = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("nv", dotQ(col("qv"), col("qv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              nLists: Int = 16, nProbe: Int = 3): DataFrame =
+    graft.util.PersistScope.scoped { scope =>
+    val v = scope.persist(
+      embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("nv", dotQ(col("qv"), col("qv"))))
     // deterministic fixed-K sample: the nLists lowest hash-ranked vec_ids
     // ((id mod P)·2654435761 stays < 2^63 — exact in both engines)
     val cent = v
@@ -150,7 +151,7 @@ object Ann {
           .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
-  }
+    }
 
   /** L2 norm (quantized, exact) per vector. */
   def norms(embeddings: DataFrame): DataFrame =
@@ -189,18 +190,18 @@ object Ann {
   def cosineDupPairs(embeddings: DataFrame, threshold: Double,
                      tables: Int = 16, bits: Int = 4,
                      maxBucket: Int = 4096, hotBucket: Int = 512,
-                     salts: Int = 16): DataFrame = {
-    val v = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("nv", dotQ(col("qv"), col("qv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = v
+                     salts: Int = 16): DataFrame =
+    graft.util.PersistScope.scoped { scope =>
+    val v = scope.persist(
+      embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("nv", dotQ(col("qv"), col("qv"))))
+    val buckets = scope.persist(v
       .withColumn("sigs",
         graft.functions.NearDupFunctions.lshSignatures(col("qv"), tables, bits))
       .select(col("vec_id"), posexplode(col("sigs")))
-      .select(col("vec_id"), col("pos").as("t"), col("col").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("sig")))
     val cands = graft.skew.Salting.bucketPairs(buckets, Seq("t", "sig"),
-      "vec_id", Nil, maxBucket, hotBucket, salts)
+      "vec_id", Nil, maxBucket, hotBucket, salts, scope)
       .select("a", "b").distinct()
     // vectors fetched per candidate (a tiny subset at scale), norms reused
     cands
@@ -211,7 +212,7 @@ object Ann {
           sqrt((col("na") * col("nb")).cast("double"))))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
-  }
+    }
 
   /** Exact all-pairs cosine baseline (bounded inputs only — the recall
     * yardstick for [[cosineDupPairs]] in AnnSpec, never the scale path). */

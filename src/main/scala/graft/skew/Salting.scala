@@ -1,8 +1,12 @@
 package graft.skew
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.util.QueryExecutionListener
+import graft.util.PersistScope
 
 /** Skew handling for bucketed self-join pair generation — the north_rule
   * mandate ("repo-level skew via salted repartitioning of hot size/hash
@@ -27,8 +31,36 @@ import org.apache.spark.storage.StorageLevel
   *      each (a, b) pair is produced exactly once, but the bucket's
   *      quadratic work is spread across `salts` tasks/partitions.
   *   4. cold buckets take the plain equi-join.
+  *
+  * Dropped-bucket logging rides the query itself via `observe` + a
+  * QueryExecutionListener: plan CONSTRUCTION triggers no Spark job (an
+  * earlier eager `head()` here ran the bucket aggregation at composition
+  * time), and the log line appears when the consuming action completes.
   */
 object Salting {
+
+  private val obsId = new AtomicLong()
+  private val listenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** One listener per session relays `graft_skew_dropped_*` observations to
+    * stderr (count of capped buckets, largest population, the cap). */
+  private def ensureListener(spark: SparkSession): Unit =
+    if (listenerSessions.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_skew_dropped_") && row.getLong(0) > 0L)
+              System.err.println(
+                s"[graft.skew] dropped ${row.getLong(0)} bucket(s) over " +
+                  s"cap=${row.getLong(2)} (${name.substring(name.indexOf('_', 19) + 1)}); " +
+                  s"largest had ${row.getLong(1)} members")
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
 
   /** Pairs (a, b) with a < b within each bucket defined by `keyCols`,
     * carrying each `payloadCols` column from both sides as `<p>_a` / `<p>_b`.
@@ -37,27 +69,30 @@ object Salting {
     *
     * `maxBucket <= 0` disables the cap; `hotThreshold <= 0` salts nothing.
     * The bucket-size aggregate is one narrow shuffle over (keys, count) —
-    * negligible next to the pair join it protects.
+    * negligible next to the pair join it protects; it persists through
+    * `scope` (the composite operator releases it after materializing).
     */
   def bucketPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
                   payloadCols: Seq[String], maxBucket: Int,
-                  hotThreshold: Int, salts: Int): DataFrame = {
+                  hotThreshold: Int, salts: Int,
+                  scope: PersistScope = PersistScope.unmanaged): DataFrame = {
     val keys = keyCols.map(col)
-    val sizes = buckets.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizesRaw = buckets.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
 
     val kept =
       if (maxBucket > 0) {
-        // logged, not silent: dropped buckets are a recall-relevant decision
-        val dropped = sizes.filter(col("__n") > maxBucket)
-          .agg(count(lit(1)), coalesce(max(col("__n")), lit(0L))).head()
-        if (dropped.getLong(0) > 0)
-          System.err.println(
-            s"[graft.skew] dropped ${dropped.getLong(0)} bucket(s) over " +
-              s"cap=$maxBucket on (${keyCols.mkString(",")}); " +
-              s"largest had ${dropped.getLong(1)} members")
-        sizes.filter(col("__n") <= maxBucket)
-      } else sizes
+        // logged, not silent — but lazily: the observation is collected when
+        // the consuming query executes, not at plan construction
+        ensureListener(buckets.sparkSession)
+        val observed = sizesRaw.observe(
+          s"graft_skew_dropped_${obsId.incrementAndGet()}_${keyCols.mkString(",")}",
+          coalesce(sum(when(col("__n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+            .as("n_dropped"),
+          coalesce(max(when(col("__n") > maxBucket, col("__n"))), lit(0L))
+            .as("largest"),
+          max(lit(maxBucket.toLong)).as("cap"))
+        scope.persist(observed.filter(col("__n") <= maxBucket))
+      } else scope.persist(sizesRaw)
 
     // attach bucket size so hot/cold routing is a row-local predicate
     val withN = buckets.join(kept, keyCols)

@@ -48,19 +48,25 @@ object Checkpoints {
     * `lineageOf(bucket)` — any older row is history of data since
     * overwritten, so matching against it would serve wrong cached results
     * (e.g. scan sha256 → scan md5 → scan sha256 again must recompute, not
-    * reuse the md5 bytes under the first run's still-present sha row). */
+    * reuse the md5 bytes under the first run's still-present sha row).
+    *
+    * finished_at has millisecond resolution, so two runs CAN tie: a bucket
+    * is valid only if ALL rows sharing the max finished_at carry the
+    * matching lineage — an ambiguous tie (stale + current lineage at the
+    * same timestamp) recomputes rather than trusting either row's bytes. */
   def validBuckets(spark: SparkSession, root: String, stage: String,
                    nBuckets: Int, lineageOf: Int => String): Set[Int] = {
     import org.apache.spark.sql.expressions.Window
     val latest = readMetrics(spark, root)
       .filter(col("stage") === stage)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("bucket").orderBy(col("finished_at").desc)))
-      .filter(col("__rn") === 1)
-      .select("bucket", "lineage")
-      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+      .withColumn("__mx", max(col("finished_at")).over(Window.partitionBy("bucket")))
+      .filter(col("finished_at") === col("__mx"))
+      .groupBy("bucket").agg(collect_set(col("lineage")).as("lineages"))
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1))).toMap
     (0 until nBuckets)
-      .filter(b => latest.get(b).contains(lineageOf(b))).toSet
+      .filter(b => latest.get(b).exists(ls =>
+        ls.length == 1 && ls.head == lineageOf(b)))
+      .toSet
   }
 
   /** Completion markers regardless of lineage (diagnostics / `cache ls`). */
@@ -105,6 +111,14 @@ object Checkpoints {
     val todo = (0 until nBuckets)
       .filter(b => !valid.contains(b))
       .filter(b => onlyBuckets.forall(_.contains(b)))
+    // a partial resume (onlyBuckets) that excludes stale/invalid buckets
+    // yields an INCOMPLETE relation — say so instead of silently omitting
+    val omittedStale = (0 until nBuckets)
+      .filter(b => !valid.contains(b) && onlyBuckets.exists(!_.contains(b)))
+    if (omittedStale.nonEmpty)
+      System.err.println(s"[graft.ckpt] stage $stage: partial resume omits " +
+        s"stale bucket(s) ${omittedStale.mkString(",")} — output is incomplete " +
+        "until they are recomputed")
     todo.foreach { b =>
       val t0 = System.nanoTime()
       val out = compute(b)
