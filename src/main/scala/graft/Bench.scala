@@ -30,17 +30,34 @@ object Bench {
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
-    // deterministic order; caches cleared between queries so each is
-    // measured cold and the persisted near-dup intermediates don't leak
+    // deterministic order; caches cleared between reps so each is measured
+    // cold and the persisted near-dup intermediates don't leak. Per-query
+    // MIN-OF-N (default 3; queries over 30 s get 2 reps to bound wall-clock;
+    // SPARK_GRAFT_BENCH_REPS overrides): this host is shared and co-tenant
+    // load routinely exceeds 10 — single-shot timings jittered up to 4x
+    // between otherwise-identical runs, min-of-N is the same protocol the
+    // Scaling main already uses.
+    val reps0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      var best = Double.MaxValue
+      var rep = 0
+      var reps = math.max(1, reps0)
+      var errored = false
+      while (rep < reps && !errored) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed += name
+          errored = true
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t < best) best = t
+        if (rep == 0 && t > 30.0) reps = math.min(reps, 2)
+        rep += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> best
     }
 
     // headline: exact-dedup scan throughput (files/sec over the corpus).
@@ -77,6 +94,6 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_files":$nFiles,"exact_scan_sec":$scanSec%.3f,"exact_files_per_sec":${nFiles / scanSec}%.1f,"n_files_x64":$nBig,"exact_x64_sec":$bigSec%.3f,"exact_files_per_sec_amortized":${nBig / bigSec}%.1f$scaling}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"min-of-${sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")} per query (2 reps over 30s), caches cleared per rep","queries":$qs,"errors":$errs,"sf":"$sfDir","n_files":$nFiles,"exact_scan_sec":$scanSec%.3f,"exact_files_per_sec":${nFiles / scanSec}%.1f,"n_files_x64":$nBig,"exact_x64_sec":$bigSec%.3f,"exact_files_per_sec_amortized":${nBig / bigSec}%.1f$scaling}""")
   }
 }
