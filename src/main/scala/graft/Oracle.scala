@@ -128,6 +128,23 @@ object Oracle {
         |FROM surv JOIN s2 ON surv.size = s2.size AND surv.hash = s2.hash"""
         .stripMargin),
 
+    // incremental-dedup classification vs a stored scan that predates the
+    // mirror2 repo: DB_DUP = content already duplicated in that db;
+    // STREAM_DUP = later in-stream occurrence; FIRST = first sighting
+    "q_incr_dedup" -> c(
+      """SELECT c.file_id, c.size, sha256(c.content) AS hash,
+        |  CASE WHEN d.size IS NOT NULL THEN 'DB_DUP'
+        |       WHEN row_number() OVER (
+        |              PARTITION BY c.size, sha256(c.content)
+        |              ORDER BY c.file_id) > 1 THEN 'STREAM_DUP'
+        |       ELSE 'FIRST' END AS status
+        |FROM corpus c
+        |LEFT JOIN (SELECT size, sha256(content) AS hash FROM corpus
+        |           WHERE size >= 1 AND repo <> 'mirror2'
+        |           GROUP BY 1, 2 HAVING count(*) >= 2) d
+        |  ON c.size = d.size AND sha256(c.content) = d.hash
+        |WHERE c.size >= 1""".stripMargin),
+
     "q_validate" -> c(
       """SELECT size, hash, count(DISTINCT content) AS n_distinct_contents
         |FROM dupmembers GROUP BY 1, 2

@@ -84,6 +84,55 @@ object OraclePipeline {
       |              * 2.0, 1.0) * 0.1) * 1000000) / 1000000 AS quality_score
       |FROM rawq)""".stripMargin
 
+  /** SQL twin of Ann.kmeansCentroids: `iters` Lloyd iterations from the
+    * hash-rank seed sample (cid = 0..k-1 in seed order). Assignment =
+    * argmax r6-cosine (ties → lower cid); update = per-dimension
+    * floor(sum / n) with empty clusters keeping their previous centroid.
+    * Output: exploded (cid, d, cval) integer rows. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val cos = (vec: String, cent: String) =>
+      s"""floor(list_dot_product($vec, $cent) /
+         |                   sqrt(list_dot_product($vec, $vec) *
+         |                        list_dot_product($cent, $cent))
+         |                   * 1000000) / 1000000""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""asg$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             ${cos("q.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM q CROSS JOIN $prev c) WHERE rn = 1
+         |), sum$i AS (
+         |  SELECT cid, d, sum(v[CAST(d AS INT) + 1]) AS s, count(*) AS n
+         |  FROM (SELECT a.cid, q.v, unnest(generate_series(0, len(q.v) - 1)) AS d
+         |        FROM asg$i a JOIN q ON q.vec_id = a.vec_id)
+         |  GROUP BY cid, d
+         |), cent$i AS (
+         |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS cv
+         |  FROM sum$i GROUP BY cid
+         |  UNION ALL
+         |  SELECT cid, cv FROM $prev
+         |  WHERE cid NOT IN (SELECT DISTINCT cid FROM asg$i)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), cent0 AS (
+       |  SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS cid, v AS cv
+       |  FROM q
+       |  WINDOW w AS (ORDER BY (vec_id % 2147483647) * 2654435761 % 2147483647,
+       |               vec_id)
+       |  QUALIFY row_number() OVER w <= $k
+       |), $steps
+       |SELECT cid, CAST(d AS BIGINT) AS d, cv[CAST(d AS INT) + 1] AS cval
+       |FROM (SELECT cid, cv, unnest(generate_series(0, len(cv) - 1)) AS d
+       |      FROM cent$iters)""".stripMargin
+  }
+
   private val langIdSql: String = {
     // argmax by (score desc, lang asc) — equivalent to TextAnalysis.langId's
     // strict-greater fold (earliest max wins; profiles are lang-sorted)
@@ -272,6 +321,8 @@ object OraclePipeline {
         |FROM scored
         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |QUALIFY row_number() OVER w <= 5""".stripMargin,
+
+    "q_kmeans" -> kmeansSql(16, 2),
 
     "q_embed_norms" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,

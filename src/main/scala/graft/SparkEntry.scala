@@ -168,11 +168,29 @@ object SparkEntry {
     // named scale path); centroid training stubbed deterministically
     "q_ann_ivf" -> ((s, dir) =>
       sim.Ann.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+    // genuine k-means (Lloyd) IVF training: 2 deterministic iterations over
+    // quantized vectors, hash-rank seeds, floor-mean updates — the oracle
+    // replays both iterations in SQL; exploded (cid, d, cval) integer rows
+    "q_kmeans" -> ((s, dir) =>
+      sim.Ann.kmeansCentroids(Tables.embeddings(s, dir), 16, 2)
+        .select(col("cid"), posexplode(col("cv")))
+        .select(col("cid"), col("pos").cast("long").as("d"),
+          col("col").as("cval"))),
 
     // — the composed cleaning pipeline: quality gate → exact + near dedup →
     //   one kept representative per cluster (pipeline.Clean) —
     "q_pipeline_kept" -> ((s, dir) =>
       pipeline.Clean.keptDocs(Tables.documents(s, dir), 0.82)),
+
+    // incremental dedup (batch twin of streaming.IncrementalDedup.stream —
+    // the PipelineSpec asserts stream ≡ batch row for row): classify every
+    // corpus row vs a stored scan db that predates the mirror2 repo
+    "q_incr_dedup" -> ((s, dir) => {
+      val corpus = Tables.corpus(s, dir)
+      val db = ExactDedup.duplicates(
+        corpus.filter(col("repo") =!= "mirror2"), cfg).select("size", "hash")
+      streaming.IncrementalDedup.batchClassify(corpus, db, cfg)
+    }),
 
     // — events: windowed agg (streaming-equivalent) + sessionization —
     "q_events_window" -> ((s, dir) =>

@@ -46,8 +46,14 @@ object Tables {
     * (/root/reference/src/sizetree.c:347-392). Deterministic per input row —
     * stable across partitionings and parallelism levels.
     */
-  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = documents(spark, sfDir)
+  def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    corpusOf(documents(spark, sfDir))
+
+  /** Corpus construction from an already-loaded documents frame — every
+    * transformation is stateless (filter/select/union/length), so this works
+    * identically on a STREAMING documents source (the incremental-dedup
+    * tier streams the same corpus the batch path scans). */
+  def corpusOf(d: DataFrame): DataFrame = {
 
     def variant(filterMod: Int, idOffset: Long, repo: String,
                 content: org.apache.spark.sql.Column): DataFrame =

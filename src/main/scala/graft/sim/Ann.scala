@@ -111,17 +111,24 @@ object Ann {
     * friendly — no N×K window shuffle); ordering ties break toward the
     * lower centroid id in both engines. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nLists: Int = 16, nProbe: Int = 3): DataFrame =
+              nLists: Int = 16, nProbe: Int = 3,
+              lloydIters: Int = 0): DataFrame =
     graft.util.PersistScope.scoped { scope =>
     val v = scope.persist(
       embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
         .withColumn("nv", dotQ(col("qv"), col("qv"))))
-    // deterministic fixed-K sample: the nLists lowest hash-ranked vec_ids
-    // ((id mod P)·2654435761 stays < 2^63 — exact in both engines)
-    val cent = v
-      .withColumn("__hk", (col("vec_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L))
-      .orderBy(col("__hk"), col("vec_id")).limit(nLists)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nv").as("cn"))
+    // centroids: the deterministic fixed-K hash-rank sample
+    // ((id mod P)·2654435761 stays < 2^63 — exact in both engines), or the
+    // Lloyd-trained refinement of it when lloydIters > 0
+    val cent =
+      if (lloydIters > 0)
+        kmeansCentroids(embeddings, nLists, lloydIters)
+          .select(col("cid"), col("cv"))
+          .withColumn("cn", dotQ(col("cv"), col("cv")))
+      else v
+        .withColumn("__hk", (col("vec_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L))
+        .orderBy(col("__hk"), col("vec_id")).limit(nLists)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nv").as("cn"))
     val scored = v.crossJoin(broadcast(cent))
       .withColumn("ccos", graft.text.TextAnalysis.r6(
         dotQ(col("qv"), col("cv")).cast("double") /
@@ -151,6 +158,57 @@ object Ann {
           .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+    }
+
+  /** Deterministic k-means (Lloyd) centroid training over quantized
+    * embeddings — genuine IVF "training", not a sampling stub, and exact
+    * enough for the hash gate: seeds are the fixed-K hash-rank sample
+    * (cid = 0..k-1 in seed-rank order), each iteration assigns every vector
+    * to its argmax-cosine centroid (map-side against the BROADCAST K-row
+    * set) and recomputes per-dimension floor-means. All arithmetic is
+    * integers plus one IEEE-correctly-rounded double division per
+    * dimension, so centroids are bit-identical across engines and
+    * partitionings — the DuckDB oracle replays both iterations in SQL
+    * (q_kmeans).
+    *
+    * Scale shape per iteration: one O(N·K) map-side scoring pass (no
+    * shuffle of vectors beyond the partial aggregation), one (cid, dim)
+    * aggregation — K·dim rows after map-side combine. Empty clusters keep
+    * their previous centroid. Output: (cid, cv array<long>). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame =
+    graft.util.PersistScope.scoped { scope =>
+      import org.apache.spark.sql.expressions.Window
+      val v = scope.persist(
+        embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+          .withColumn("nv", dotQ(col("qv"), col("qv"))))
+      // seed: fixed-K hash-rank sample; the rank window runs on K rows
+      // AFTER the distributed TakeOrdered, never on the corpus
+      val hk = (col("vec_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L)
+      var cent = v.withColumn("__hk", hk)
+        .orderBy(col("__hk"), col("vec_id")).limit(k)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("__hk"), col("vec_id"))).cast("long") - 1)
+        .select(col("cid"), col("qv").as("cv"))
+      for (_ <- 1 to iters) {
+        val c = cent.withColumn("cn", dotQ(col("cv"), col("cv")))
+        val asg = v.crossJoin(broadcast(c))
+          .withColumn("ccos", graft.text.TextAnalysis.r6(
+            dotQ(col("qv"), col("cv")).cast("double") /
+              sqrt((col("nv") * col("cn")).cast("double"))))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+        val sums = asg.join(v.select("vec_id", "qv"), Seq("vec_id"))
+          .select(col("cid"), posexplode(col("qv")))
+          .groupBy("cid", "pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+        val updated = sums
+          .withColumn("cval", floor(col("s").cast("double") / col("n")).cast("long"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
+            .as("cv"))
+        cent = updated.unionByName(
+          cent.join(updated.select("cid"), Seq("cid"), "left_anti"))
+      }
+      cent
     }
 
   /** L2 norm (quantized, exact) per vector. */

@@ -70,6 +70,34 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.5, s"pathologically low recall $recall")
   }
 
+  test("k-means training: deterministic, partitioning-invariant, and moves the seeds") {
+    val c1 = Ann.kmeansCentroids(emb, 16, 2)
+      .selectExpr("cid", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(c1.size == 16 && c1.keySet == (0L until 16L).toSet)
+    assert(c1.values.forall(_.nonEmpty))
+    // bit-identical under a different partitioning (integer arithmetic +
+    // one correctly-rounded double division per dim — no float-sum order)
+    val c2 = Ann.kmeansCentroids(emb.repartition(7), 16, 2)
+      .selectExpr("cid", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(c1 == c2)
+    // Lloyd updates genuinely move centroids off the raw seed vectors
+    val seeds = Ann.kmeansCentroids(emb, 16, 0)
+      .selectExpr("cid", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(c1 != seeds, "training did not change any centroid")
+    // trained IVF still ranks correctly and reports recall
+    val ivf = Ann.ivfTopK(emb, 0L until 10L, 5, lloydIters = 2)
+    val ivfPairs = ivf.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brutePairs.count(ivfPairs.contains).toDouble / brutePairs.size
+    info(f"IVF recall@5 with 2 Lloyd iterations: $recall%.3f (vs seed-sample IVF above)")
+    assert(ivf.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
+  }
+
   test("planted hot embedding bucket: salted join equals plain, cap drops it") {
     // 200 copies of vector 0 under fresh ids: identical vectors share EVERY
     // (table, signature) bucket — the embedding analogue of the text tier's

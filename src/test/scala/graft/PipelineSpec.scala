@@ -158,6 +158,35 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.count() >= (batch.count() * 0.5).toLong)
   }
 
+  test("incremental streaming dedup equals the batch classification") {
+    import graft.exact.{DedupConfig, ExactDedup}
+    import graft.streaming.IncrementalDedup
+    val cfg = DedupConfig()
+    val corpus = Tables.corpus(spark, sf)
+    // the "stored scan": a db written before EITHER mirror repo landed, so
+    // the arriving mirrors form genuinely new in-stream dup sets
+    // (STREAM_DUP); the gate query q_incr_dedup covers the DB_DUP-heavy
+    // variant (db excludes only mirror2)
+    val db = ExactDedup.duplicates(
+      corpus.filter(!col("repo").isin("mirror", "mirror2")), cfg)
+      .select("size", "hash")
+    val q = IncrementalDedup.stream(spark, sf, "incr_dedup_test", db, cfg)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("incr_dedup_test")
+      .select("file_id", "size", "hash", "status")
+    val batch = IncrementalDedup.batchClassify(corpus, db, cfg)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val byStatus = streamed.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every base doc is FIRST; every mirror/mirror2 copy is a new
+    // in-stream duplicate (their sets are not in the pre-mirror db)
+    assert(byStatus("FIRST") > 0 && byStatus("STREAM_DUP") > 0)
+    val mirrorRows = streamed.filter(col("file_id") >= 1000000L && col("file_id") < 3000000L)
+    assert(mirrorRows.filter(col("status") === "FIRST").count() == 0)
+  }
+
   test("sessions: no session spans a gap larger than the threshold") {
     val events = Tables.events(spark, sf)
     val s = EventsStream.sessions(events, gapMinutes = 30)
