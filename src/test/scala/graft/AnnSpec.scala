@@ -70,6 +70,17 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.5, s"pathologically low recall $recall")
   }
 
+  test("bitsFor scales bucket width logarithmically with corpus size") {
+    assert(Ann.bitsFor(500) == 4)              // fixture scale: floor stays 4
+    assert(Ann.bitsFor(512L * 1024) == 10)     // 2^19 / 512 = 2^10
+    assert(Ann.bitsFor(1L << 40) == 31)        // 100 TB-ish row counts
+    // expected bucket population n / 2^bits stays within ~2x of target
+    for (n <- Seq(10000L, 1000000L, 100000000L)) {
+      val pop = n.toDouble / (1L << Ann.bitsFor(n))
+      assert(pop <= 1024 && pop >= 256, s"n=$n pop=$pop")
+    }
+  }
+
   test("k-means training: deterministic, partitioning-invariant, and moves the seeds") {
     val c1 = Ann.kmeansCentroids(emb, 16, 2)
       .selectExpr("cid", "cv").collect()
