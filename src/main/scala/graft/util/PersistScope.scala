@@ -40,13 +40,21 @@ object PersistScope {
     override def release(): Unit = ()
   }
 
+  /** Set (e.g. by graft.Explain) to keep composite operators LAZY so their
+    * full Catalyst plan stays inspectable — the default eager checkpoint
+    * replaces it with a Scan ExistingRDD. Lazy mode also skips the release
+    * (the un-materialized plan still references the caches). */
+  val LazyProp = "graft.scope.lazy"
+
   /** Run `body` with a fresh scope; materialize its result with an EAGER
     * localCheckpoint, then release every intermediate persist. The
     * checkpoint truncates lineage too, so the returned frame no longer
     * references the released caches. */
-  def scoped(body: PersistScope => DataFrame): DataFrame = {
-    val scope = new PersistScope
-    try body(scope).localCheckpoint(true)
-    finally scope.release()
-  }
+  def scoped(body: PersistScope => DataFrame): DataFrame =
+    if (java.lang.Boolean.getBoolean(LazyProp)) body(unmanaged)
+    else {
+      val scope = new PersistScope
+      try body(scope).localCheckpoint(true)
+      finally scope.release()
+    }
 }
