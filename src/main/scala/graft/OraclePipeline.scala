@@ -436,14 +436,15 @@ object OraclePipeline {
         |LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = b.bin""".stripMargin,
 
     // WAV decode twin: the engine synthesizes a RIFF/WAVE container per doc
-    // (PCM16 mono, rate 8000+(id%8)*1000, sample = byte*257-32768) and
-    // decodes it with a real chunk-walking parser; the oracle recomputes the
-    // expected stats straight from the text (ASCII docs: char == byte)
+    // (PCM16 mono, rate 8000+(id%8)*1000, one sample per text CODEPOINT =
+    // (cp % 256)*257-32768) and decodes it with a real chunk-walking
+    // parser; the oracle recomputes the expected stats from the same
+    // per-character formula (parity holds for non-ASCII text too)
     "q_mm_wav" ->
       """WITH sm AS (
         |  SELECT doc_id,
-        |         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 257
-        |           - 32768 AS v
+        |         (CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+        |            % 256) * 257 - 32768 AS v
         |  FROM (SELECT doc_id, text,
         |               unnest(generate_series(1, length(text))) AS i
         |        FROM documents)

@@ -93,27 +93,38 @@ object Main {
       else rawCorpus
 
     /** Open a stored scan db: meta version + staleness checks
-      * (/root/reference/src/dbops.c:244-293), plus a warning when the db's
-      * recorded scan config differs from the flags of THIS invocation — a
-      * `hash --alg md5` against a sha256-scanned db would otherwise silently
-      * answer with the stored algorithm's digests. */
+      * (/root/reference/src/dbops.c:244-293). */
     def openDb(dir: String): DataFrame = {
       graft.state.DbMeta.check(spark, dir)
         .foreach(w => System.err.println(s"[graft] WARNING: $w"))
-      graft.state.DbMeta.read(spark, dir).foreach { m =>
-        val diffs = Seq(
+      spark.read.parquet(s"$dir/duplicates")
+    }
+
+    /** Effective config for query ops: when reading a stored db, fields the
+      * user did NOT explicitly set ADOPT the db's recorded scan config (so
+      * `hash --db <md5 db>` answers with the db's own algorithm instead of
+      * silently recomputing sha256 and reporting every member as diverged);
+      * explicitly conflicting flags warn — stored results always reflect
+      * the scan-time config (dupd's open_database strictness,
+      * /root/reference/src/dbops.c:244-293). */
+    lazy val qcfg: DedupConfig = opts.get("db")
+      .flatMap(dir => graft.state.DbMeta.read(spark, dir)).map { m =>
+        val conflicts = Seq(
           (opts.contains("alg") && m.alg != cfg.hashAlg) ->
             s"db scanned with --alg ${m.alg}, requested ${cfg.hashAlg}",
           (opts.contains("minsize") && m.minsize != cfg.minSize) ->
             s"db scanned with --minsize ${m.minsize}, requested ${cfg.minSize}",
-          (m.hidden != cfg.includeHidden) ->
-            s"db scanned with hidden=${m.hidden}, requested ${cfg.includeHidden}")
-        diffs.collect { case (true, msg) => msg }.foreach(msg =>
-          System.err.println(s"[graft] WARNING: $msg — stored results reflect " +
-            "the scan-time config; re-run scan to change it"))
-      }
-      spark.read.parquet(s"$dir/duplicates")
-    }
+          (opts.contains("hidden") && !m.hidden) ->
+            s"db scanned with hidden=false, requested true")
+        conflicts.collect { case (true, msg) => msg }.foreach(msg =>
+          System.err.println(s"[graft] WARNING: $msg — stored results " +
+            "reflect the scan-time config; re-run scan to change it"))
+        cfg.copy(
+          hashAlg = if (opts.contains("alg")) cfg.hashAlg else m.alg,
+          minSize = if (opts.contains("minsize")) cfg.minSize else m.minsize,
+          includeHidden = if (opts.contains("hidden")) cfg.includeHidden
+                          else m.hidden)
+      }.getOrElse(cfg)
 
     /** duplicates relation: stored (--db), checkpointed (--checkpoint), or
       * computed from the data. */
@@ -158,7 +169,7 @@ object Main {
         0
       case "uniques" =>
         // anti-join of the scan against the dup relation; streamed
-        val u = ExactDedup.scanFilter(corpus, cfg)
+        val u = ExactDedup.scanFilter(corpus, qcfg)
           .join(dupsDf.select("file_id"), Seq("file_id"), "left_anti")
           .select("file_id", "repo", "path").orderBy("file_id")
         stream(u)(r => s"   UNIQUE: ${r.get(1)}/${r.get(2)}"); 0
@@ -168,7 +179,7 @@ object Main {
       case "ls" =>
         // EVERY file with its status (reference prints both kinds,
         // /root/reference/src/report.c:485-542)
-        val all = ExactDedup.scanFilter(corpus, cfg)
+        val all = ExactDedup.scanFilter(corpus, qcfg)
           .join(dupsDf.select("file_id").distinct()
             .withColumn("__dup", lit(true)), Seq("file_id"), "left")
           .withColumn("status",
@@ -194,7 +205,7 @@ object Main {
         val res = opts.get("db") match {
           // stored-scan lookup, re-verified against the CURRENT data (J2)
           case Some(_) => ExactDedup.fileStatusesIn(dupsDf, corpus, id,
-            opts.get("exclude-path"), cfg)
+            opts.get("exclude-path"), qcfg)
           // live path honors --exclude-path too (fileStatuses carries it)
           case None => ExactDedup.fileStatuses(corpus, corpus, id,
             opts.get("exclude-path"), cfg)
@@ -230,6 +241,9 @@ object Main {
         println(s"clusters written to $out"); 0
       case "hash" =>
         val id = opts.getOrElse("id", "0").toLong
+        // force qcfg now: its explicit-conflict warning must print even on
+        // the cache-hit path below (the stored digest IS the db's alg)
+        val hcfg = qcfg
         // read-through: a stored scan already has this file's digest
         // (/root/reference/src/report.c:686-727 reads the hash cache first)
         val cached = opts.get("db").toSeq.flatMap(dir =>
@@ -237,7 +251,7 @@ object Main {
             .select("hash").limit(1).collect())
         val h = cached.headOption.map(_.getString(0)).orElse {
           corpus.filter(col("file_id") === id)
-            .select(ExactDedup.digest(col("content"), cfg))
+            .select(ExactDedup.digest(col("content"), hcfg))
             .collect().headOption.map(_.getString(0))
         }
         h match {

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * hash-min label propagation this replaced (O(component diameter) rounds —
   * a planted 600-node chain needs 600 rounds, and a round cap silently
   * returns wrong labels), star rounds are logarithmic in the worst case:
-  * the 600-chain converges in 7 rounds (ConnectedComponentsSpec).
+  * the 600-chain converges in 11 rounds (ConnectedComponentsSpec).
   *
   * Convergence is detected on the canonical edge set's (count, xor-of-hash)
   * signature — one tiny aggregate over the just-checkpointed frame, no
@@ -112,9 +112,13 @@ object ConnectedComponents {
         "— labels may be partial (raise maxIter)")
 
     // converged state is a forest of stars (hi -> component min): every
-    // non-min vertex appears exactly once as hi
+    // non-min vertex appears exactly once as hi. The min-aggregate is a
+    // no-op then, but guarantees ONE label per vertex even on maxIter
+    // exhaustion or a (2^-64) signature collision — a fan-out here would
+    // silently duplicate rows in every downstream cluster expansion.
     val labels = vertices
-      .join(e.select(col("hi").as("file_id"), col("lo").as("__c")),
+      .join(e.select(col("hi").as("file_id"), col("lo"))
+          .groupBy("file_id").agg(min(col("lo")).as("__c")),
         Seq("file_id"), "left")
       .select(col("file_id"),
         coalesce(col("__c"), col("file_id")).as("cluster_id"))

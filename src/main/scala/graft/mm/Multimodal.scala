@@ -121,18 +121,21 @@ object Multimodal {
     private def le16(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
 
-    /** Sample value for payload byte b: spread the 256 byte values over the
-      * full signed-16 range (255*257-32768 = 32767). Exact-integer, so the
-      * oracle recomputes it from the text in SQL. */
-    def sampleOf(b: Int): Int = (b & 0xff) * 257 - 32768
+    /** Sample value for text codepoint cp: low byte spread over the full
+      * signed-16 range (255*257-32768 = 32767). Codepoints (mod 256), NOT
+      * UTF-8 bytes: the oracle recomputes samples via ascii(substr(text,i))
+      * over length(text) CHARACTERS, so a byte-based synth would desync on
+      * the first non-ASCII document (char count != byte count). */
+    def sampleOf(cp: Int): Int = (cp & 0xff) * 257 - 32768
 
-    /** One sample per payload byte, mono PCM16, rate = 8000 + (id%8)*1000. */
-    def synthesize(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    /** One sample per text codepoint, mono PCM16, rate = 8000+(id%8)*1000. */
+    def synthesize(docId: Long, text: String): Array[Byte] = {
       val rate = (8000 + (docId % 8) * 1000).toInt
-      val pcm = new Array[Byte](payload.length * 2)
+      val cps = text.codePoints().toArray
+      val pcm = new Array[Byte](cps.length * 2)
       var i = 0
-      while (i < payload.length) {
-        val s = sampleOf(payload(i))
+      while (i < cps.length) {
+        val s = sampleOf(cps(i))
         pcm(2 * i) = (s & 0xff).toByte
         pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
         i += 1
@@ -199,13 +202,14 @@ object Multimodal {
     }
   }
 
-  /** Documents as synthesized WAV blobs (payload = utf-8 text bytes as
-    * PCM16 samples) — the audio-table stand-in. */
+  /** Documents as synthesized WAV blobs (one PCM16 sample per text
+    * codepoint) — the audio-table stand-in. */
   def asWavMedia(spark: SparkSession, documents: DataFrame): Dataset[WavRow] = {
     import spark.implicits._
-    documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[WavRow].mapPartitions(_.map(r =>
-        WavRow(r.doc_id, Wav.synthesize(r.doc_id, r.payload))))
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions(_.map { case (id, text) =>
+        WavRow(id, Wav.synthesize(id, text))
+      })
   }
 
   /** Partition-local REAL decode: WAV container -> exact-integer PCM stats

@@ -33,10 +33,13 @@ object Clean {
     * near-dup tier, but a cleaning pipeline must not LOSE them: they are
     * exact-deduplicated by (size, hash) and kept as their own clusters. */
   def keptDocs(documents: DataFrame, minQuality: Double = 0.82,
-               cfg: NearConfig = NearConfig()): DataFrame = {
+               cfg: NearConfig = NearConfig()): DataFrame =
+    graft.util.PersistScope.scoped { s =>
+    // the quality gate (3 regex passes + a token walk per doc) is computed
+    // ONCE into a persisted frame feeding both branches below
     val qualified = documents
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
-    val files = docsAsFiles(qualified)
+    val files = s.persist(docsAsFiles(qualified))
     val nearKept = graft.near.NearDup.allFileClusters(files, cfg)
       .groupBy("cluster_id")
       .agg(min("file_id").as("doc_id"), count(lit(1)).as("n_merged"))
@@ -47,5 +50,5 @@ object Clean {
       .agg(min("file_id").as("doc_id"), count(lit(1)).as("n_merged"))
       .select("doc_id", "n_merged")
     nearKept.unionAll(shortKept)
-  }
+    }
 }

@@ -122,8 +122,7 @@ object Ann {
     // Lloyd-trained refinement of it when lloydIters > 0
     val cent =
       if (lloydIters > 0)
-        kmeansCentroids(embeddings, nLists, lloydIters)
-          .select(col("cid"), col("cv"))
+        kmeansFrom(v, nLists, lloydIters)
           .withColumn("cn", dotQ(col("cv"), col("cv")))
       else v
         .withColumn("__hk", (col("vec_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L))
@@ -177,39 +176,49 @@ object Ann {
     * their previous centroid. Output: (cid, cv array<long>). */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame =
     graft.util.PersistScope.scoped { scope =>
-      import org.apache.spark.sql.expressions.Window
-      val v = scope.persist(
+      kmeansFrom(scope.persist(
         embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-          .withColumn("nv", dotQ(col("qv"), col("qv"))))
-      // seed: fixed-K hash-rank sample; the rank window runs on K rows
-      // AFTER the distributed TakeOrdered, never on the corpus
-      val hk = (col("vec_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L)
-      var cent = v.withColumn("__hk", hk)
-        .orderBy(col("__hk"), col("vec_id")).limit(k)
-        .withColumn("cid",
-          row_number().over(Window.orderBy(col("__hk"), col("vec_id"))).cast("long") - 1)
-        .select(col("cid"), col("qv").as("cv"))
-      for (_ <- 1 to iters) {
-        val c = cent.withColumn("cn", dotQ(col("cv"), col("cv")))
-        val asg = v.crossJoin(broadcast(c))
-          .withColumn("ccos", graft.text.TextAnalysis.r6(
-            dotQ(col("qv"), col("cv")).cast("double") /
-              sqrt((col("nv") * col("cn")).cast("double"))))
-          .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
-        val sums = asg.join(v.select("vec_id", "qv"), Seq("vec_id"))
-          .select(col("cid"), posexplode(col("qv")))
-          .groupBy("cid", "pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
-        val updated = sums
-          .withColumn("cval", floor(col("s").cast("double") / col("n")).cast("long"))
-          .groupBy("cid")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
-            .as("cv"))
-        cent = updated.unionByName(
-          cent.join(updated.select("cid"), Seq("cid"), "left_anti"))
-      }
-      cent
+          .withColumn("nv", dotQ(col("qv"), col("qv")))), k, iters)
     }
+
+  /** Lloyd training from a prepared `(vec_id, qv, nv)` frame (caller
+    * persists it) — shared with [[ivfTopK]] so the quantize+norm pass over
+    * the corpus is never duplicated. */
+  private[sim] def kmeansFrom(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // seed: fixed-K hash-rank sample; the rank window runs on K rows
+    // AFTER the distributed TakeOrdered, never on the corpus
+    val hk = (col("vec_id") % lit(2147483647L)) * lit(2654435761L) % lit(2147483647L)
+    var cent = v.withColumn("__hk", hk)
+      .orderBy(col("__hk"), col("vec_id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("__hk"), col("vec_id"))).cast("long") - 1)
+      .select(col("cid"), col("qv").as("cv"))
+    for (_ <- 1 to iters) {
+      val c = cent.withColumn("cn", dotQ(col("cv"), col("cv")))
+      val asg = v.crossJoin(broadcast(c))
+        .withColumn("ccos", graft.text.TextAnalysis.r6(
+          dotQ(col("qv"), col("cv")).cast("double") /
+            sqrt((col("nv") * col("cn")).cast("double"))))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+      val sums = asg.join(v.select("vec_id", "qv"), Seq("vec_id"))
+        .select(col("cid"), posexplode(col("qv")))
+        .groupBy("cid", "pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+      val updated = sums
+        .withColumn("cval", floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
+          .as("cv"))
+      // the new centroid plan references the old one ~3x (assignment,
+      // carryover anti-join, its key projection): checkpoint the K-row
+      // frame per iteration or the plan grows ~3^iters
+      cent = updated.unionByName(
+        cent.join(updated.select("cid"), Seq("cid"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
 
   /** L2 norm (quantized, exact) per vector. */
   def norms(embeddings: DataFrame): DataFrame =

@@ -40,13 +40,18 @@ import graft.util.PersistScope
 object Salting {
 
   private val obsId = new AtomicLong()
-  private val listenerSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: a stopped session must not stay pinned by this registry
+  // (its listener dies with the session's own listener bus)
+  private val listenerSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** One listener per session relays `graft_skew_dropped_*` observations to
-    * stderr (count of capped buckets, largest population, the cap). */
+    * stderr (count of capped buckets, largest population, the cap). A
+    * recomputation of an evicted bucket-size frame re-fires its
+    * observation — duplicate log lines mean the aggregation genuinely ran
+    * again, which is worth seeing. */
   private def ensureListener(spark: SparkSession): Unit =
-    if (listenerSessions.add(spark)) {
+    if (listenerSessions.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =

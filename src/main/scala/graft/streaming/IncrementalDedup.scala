@@ -16,10 +16,17 @@ import graft.exact.{DedupConfig, ExactDedup}
   *
   * Statuses: `DB_DUP` — content already recorded as duplicated in the
   * stored db; `STREAM_DUP` — second-or-later in-stream occurrence;
-  * `FIRST` — first sighting. Classification is deterministic: within a
-  * micro-batch a group's rows are folded in file_id order, so the stream
-  * result equals [[batchClassify]] row for row (asserted in PipelineSpec,
-  * and batchClassify is the oracle-checked q_incr_dedup).
+  * `FIRST` — first sighting. FIRST is decided by ARRIVAL order (that is
+  * the streaming operator's real semantics); within a micro-batch a
+  * group's rows are folded in file_id order so intra-batch arrival is
+  * deterministic. The batch twin [[batchClassify]] models arrival order as
+  * file_id order, so stream ≡ batch row for row whenever ids land in
+  * nondecreasing order across micro-batches — trivially true for a
+  * single-batch source (the fixture: one parquet file under AvailableNow,
+  * asserted in PipelineSpec; batchClassify is the oracle-checked
+  * q_incr_dedup) and for monotonically-assigned ingest ids. Out-of-order
+  * late arrivals keep correct DUP/FIRST *partitioning* — only which member
+  * is labeled FIRST can differ from the batch replay.
   *
   * State is one (size, hash) → (firstId, n) row per distinct content — at
   * cluster scale that state IS the scan db, so a production deployment

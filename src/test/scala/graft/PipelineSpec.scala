@@ -76,12 +76,12 @@ class PipelineSpec extends SparkSpec {
       .map(i => i.doc_id -> i).toMap
     sample.foreach { r =>
       val id = r.getLong(0)
-      val bytes = r.getString(1).getBytes("UTF-8")
-      val samples = bytes.map(b => Wav.sampleOf(b.toInt).toLong)
+      val cps = r.getString(1).codePoints().toArray
+      val samples = cps.map(cp => Wav.sampleOf(cp).toLong)
       val got = decoded(id)
       assert(got.sample_rate == 8000 + (id % 8) * 1000)
       assert(got.n_channels == 1 && got.bits_per_sample == 16)
-      assert(got.n_samples == bytes.length)
+      assert(got.n_samples == cps.length)
       assert(got.pcm_sum == samples.sum)
       assert(got.pcm_min == (if (samples.isEmpty) 0L else samples.min))
       assert(got.pcm_max == (if (samples.isEmpty) 0L else samples.max))
@@ -89,8 +89,15 @@ class PipelineSpec extends SparkSpec {
     // the parser actually walks chunks: the synthesized container has an
     // odd-sized LIST chunk (plus pad byte) BEFORE data, so a fixed-44-byte
     // header slice would misread it
-    val wav = Wav.synthesize(3L, "hello wav world".getBytes("US-ASCII"))
+    val wav = Wav.synthesize(3L, "hello wav world")
     assert(new String(wav.slice(36, 40), "US-ASCII") != "data")
+    // non-ASCII roundtrip: codepoint semantics, not UTF-8 byte semantics
+    val uni = "héllo wörld ✓"
+    val got = Wav.decode(9L, Wav.synthesize(9L, uni))
+    assert(got.n_samples == uni.codePoints().count())
+    assert(got.pcm_sum == uni.codePoints().toArray.map(c => Wav.sampleOf(c).toLong).sum)
+    // empty payload: zero samples, zeroed stats
+    assert(Wav.decode(4L, Wav.synthesize(4L, "")).n_samples == 0)
     // malformed containers are rejected, not misparsed
     intercept[IllegalArgumentException] {
       Wav.decode(0L, "JUNKJUNKJUNKJUNKJUNK".getBytes("US-ASCII"))
