@@ -222,6 +222,64 @@ object OracleNear {
         |      WHERE size < 5)
         |GROUP BY size, h""".stripMargin),
 
+    // quality-aware kept representatives: same pipeline as q_pipeline_kept,
+    // but the kept doc per cluster is the argmax quality (ties → lowest id)
+    // and the row carries the rep's floor-scaled score
+    "q_pipeline_best" -> (
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT d.doc_id AS file_id, 'docs' AS repo,
+         |         concat('d_', d.doc_id) AS path, 'c0' AS "commit",
+         |         d.lang, d.text AS content,
+         |         CAST(length(d.text) AS BIGINT) AS size
+         |  FROM documents d
+         |  JOIN ${OraclePipeline.qualityScoreSubquery} qq
+         |    ON qq.doc_id = d.doc_id
+         |  WHERE qq.quality_score >= 0.82
+         |),
+         |""".stripMargin + nearCtes() +
+      s""", allc AS (
+         |  SELECT c.file_id, cl.cluster_id
+         |  FROM (SELECT file_id, size, sha256(content) AS h FROM corpus
+         |        WHERE size >= 5) c
+         |  JOIN (SELECT size, h, min(file_id) AS rep_id
+         |        FROM (SELECT file_id, size, sha256(content) AS h FROM corpus
+         |              WHERE size >= 5)
+         |        GROUP BY size, h) r
+         |    ON c.size = r.size AND c.h = r.h
+         |  JOIN clusters cl ON cl.file_id = r.rep_id
+         |), allcq AS (
+         |  SELECT a.file_id, a.cluster_id, qq.quality_score AS q
+         |  FROM allc a
+         |  JOIN ${OraclePipeline.qualityScoreSubquery} qq
+         |    ON qq.doc_id = a.file_id
+         |), ranked AS (
+         |  SELECT file_id, q,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY q DESC, file_id) AS rn,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_merged
+         |  FROM allcq
+         |), shortq AS (
+         |  SELECT c.file_id, c.size, sha256(c.content) AS h,
+         |         qq.quality_score AS q
+         |  FROM corpus c
+         |  JOIN ${OraclePipeline.qualityScoreSubquery} qq
+         |    ON qq.doc_id = c.file_id
+         |  WHERE c.size < 5
+         |), sranked AS (
+         |  SELECT file_id, q,
+         |         row_number() OVER (PARTITION BY size, h
+         |                            ORDER BY q DESC, file_id) AS rn,
+         |         count(*) OVER (PARTITION BY size, h) AS n_merged
+         |  FROM shortq
+         |)
+         |SELECT file_id AS doc_id, CAST(n_merged AS BIGINT) AS n_merged,
+         |       q AS rep_quality
+         |FROM ranked WHERE rn = 1
+         |UNION ALL
+         |SELECT file_id AS doc_id, CAST(n_merged AS BIGINT) AS n_merged,
+         |       q AS rep_quality
+         |FROM sranked WHERE rn = 1""".stripMargin),
+
     // planted-skew fixture under a biting cap (64): the boilerplate family's
     // hot band buckets are dropped (logged on the Spark side), sub-cap
     // buckets — salted in Spark between hotBucket and the cap — still pair;

@@ -461,6 +461,24 @@ object OraclePipeline {
         |LEFT JOIN (SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
         |           FROM sm GROUP BY doc_id) a ON a.doc_id = d.doc_id""".stripMargin,
 
+    // resize twin: histogram bins beyond the real 16 read as zero-padding
+    // (bins 16..23); truncation would simply bound the dim series
+    "q_mm_resize" ->
+      """WITH by AS (
+        |  SELECT doc_id,
+        |         ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)
+        |), c AS (
+        |  SELECT doc_id, bin, count(*) AS n FROM by GROUP BY doc_id, bin
+        |)
+        |SELECT d.doc_id, CAST(b.dim AS BIGINT) AS dim_idx,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_in_bin
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS dim) b
+        |LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = b.dim""".stripMargin,
+
     // frame sampling plumbing: payload split into 4 equal byte slices,
     // step = max(n/4, 1), frame i exists while i*step < n, trailing bytes
     // beyond 4*step dropped (mirrors Multimodal.sampleFrames)

@@ -181,6 +181,10 @@ object SparkEntry {
     //   one kept representative per cluster (pipeline.Clean) —
     "q_pipeline_kept" -> ((s, dir) =>
       pipeline.Clean.keptDocs(Tables.documents(s, dir), 0.82)),
+    // quality-aware representative selection: keep the BEST-quality member
+    // of each near-dup cluster (ties → lowest id), not the lowest id
+    "q_pipeline_best" -> ((s, dir) =>
+      pipeline.Clean.keptDocsBest(Tables.documents(s, dir), 0.82)),
 
     // incremental dedup (batch twin of streaming.IncrementalDedup.stream —
     // the PipelineSpec asserts stream ≡ batch row for row): classify every
@@ -218,7 +222,12 @@ object SparkEntry {
     // formula — exact integers, hash-comparable
     "q_mm_wav" -> ((s, dir) =>
       mm.Multimodal.decodeWavs(s,
-        mm.Multimodal.asWavMedia(s, Tables.documents(s, dir))).toDF())
+        mm.Multimodal.asWavMedia(s, Tables.documents(s, dir))).toDF()),
+    // resize plumbing (truncate/pad shape normalization) over the exact
+    // 16-bin histogram, padded to 24 dims — integer rows, hash-comparable
+    "q_mm_resize" -> ((s, dir) =>
+      mm.Multimodal.resizedHistogram(s,
+        mm.Multimodal.asMedia(Tables.documents(s, dir)), 24))
   )
 
   def oracleSql: Map[String, String] =

@@ -99,6 +99,22 @@ object Multimodal {
       slice(concat(col("features"), array_repeat(lit(0.0f), dim)), 1, dim)
         .as("features"))
 
+  /** Exact-integer resize view for the gate: the 16-bin histogram resized
+    * to `dim` through the SAME slice/concat/pad expression as
+    * [[resizeFeatures]] (float32 holds the counts exactly — they are
+    * < 2^24), exploded to (doc_id, dim_idx, n_in_bin) BIGINT rows the
+    * DuckDB oracle reproduces. */
+  def resizedHistogram(spark: SparkSession, media: DataFrame, dim: Int): DataFrame = {
+    val feats = featureHistogram(spark, media).toDF()
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(bin, n_in_bin)))," +
+        " x -> cast(x.n_in_bin as float))").as("features"))
+    feats.select(col("doc_id"), posexplode(
+        slice(concat(col("features"), array_repeat(lit(0.0f), dim)), 1, dim)))
+      .select(col("doc_id"), col("pos").cast("long").as("dim_idx"),
+        col("col").cast("long").as("n_in_bin"))
+  }
+
   // ——— WAV: the one REAL (non-stub) decode path ———————————————————————————
   //
   // RIFF/WAVE is a public container format parseable with zero external

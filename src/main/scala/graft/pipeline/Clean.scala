@@ -51,4 +51,37 @@ object Clean {
       .select("doc_id", "n_merged")
     nearKept.unionAll(shortKept)
     }
+
+  /** [[keptDocs]] with QUALITY-AWARE representative selection: the kept
+    * document of each near-dup cluster is the highest-quality member
+    * (ties → lowest doc_id), not the lowest id — what a real pretraining
+    * pass wants (keep the cleanest copy of each boilerplate family).
+    * Output (doc_id, n_merged, rep_quality); rep_quality is the synced
+    * floor-scaled score, so the DuckDB oracle reproduces the argmax. */
+  def keptDocsBest(documents: DataFrame, minQuality: Double = 0.82,
+                   cfg: NearConfig = NearConfig()): DataFrame =
+    graft.util.PersistScope.scoped { s =>
+    val qualified = documents
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .filter(col("q") >= minQuality)
+    val files = s.persist(docsAsFiles(qualified.drop("q"))
+      .join(qualified.select(col("doc_id").as("file_id"), col("q")), Seq("file_id")))
+    def bestPerGroup(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped.agg(
+        max_by(col("file_id"), struct(col("q"), -col("file_id"))).as("doc_id"),
+        count(lit(1)).as("n_merged"),
+        max(col("q")).as("rep_quality"))
+    val nearKept = bestPerGroup(
+      graft.near.NearDup.allFileClusters(files, cfg)
+        .join(files.select("file_id", "q"), Seq("file_id"))
+        .groupBy("cluster_id"))
+      .select("doc_id", "n_merged", "rep_quality")
+    val shortKept = bestPerGroup(
+      files.filter(col("size") < cfg.shingleK)
+        .select(col("file_id"), col("q"), col("size"),
+          sha2(col("content"), 256).as("h"))
+        .groupBy("size", "h"))
+      .select("doc_id", "n_merged", "rep_quality")
+    nearKept.unionAll(shortKept)
+    }
 }

@@ -165,6 +165,26 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.count() >= (batch.count() * 0.5).toLong)
   }
 
+  test("quality-aware kept reps: same clusters, best representative") {
+    import graft.pipeline.Clean
+    val kept = Clean.keptDocs(docs, 0.82).cache()
+    val best = Clean.keptDocsBest(docs, 0.82).cache()
+    // same clustering, different representative choice: cluster count and
+    // the multiset of cluster sizes must match exactly
+    assert(kept.count() == best.count())
+    val km = kept.groupBy("n_merged").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bm = best.groupBy("n_merged").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(km == bm)
+    // every kept representative passes the quality gate it was chosen under
+    assert(best.filter(col("rep_quality") < 0.82).count() == 0)
+    // total documents absorbed is identical
+    val totK = kept.agg(sum("n_merged")).head().getLong(0)
+    val totB = best.agg(sum("n_merged")).head().getLong(0)
+    assert(totK == totB)
+  }
+
   test("incremental streaming dedup equals the batch classification") {
     import graft.exact.{DedupConfig, ExactDedup}
     import graft.streaming.IncrementalDedup
