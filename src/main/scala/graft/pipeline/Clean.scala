@@ -61,18 +61,24 @@ object Clean {
   def keptDocsBest(documents: DataFrame, minQuality: Double = 0.82,
                    cfg: NearConfig = NearConfig()): DataFrame =
     graft.util.PersistScope.scoped { s =>
-    val qualified = documents
+    // quality computed ONCE in a single projection (the score is 3 regex
+    // passes + token walks per doc — a self-join of two recomputations
+    // doubled this query's cost)
+    val files = s.persist(documents
       .withColumn("q", TextAnalysis.qualityScore(col("text")))
       .filter(col("q") >= minQuality)
-    val files = s.persist(docsAsFiles(qualified.drop("q"))
-      .join(qualified.select(col("doc_id").as("file_id"), col("q")), Seq("file_id")))
+      .select(
+        col("doc_id").as("file_id"), lit("docs").as("repo"),
+        concat(lit("d_"), col("doc_id")).as("path"), lit("c0").as("commit"),
+        col("lang"), col("text").as("content"), col("q"))
+      .withColumn("size", length(col("content")).cast("long")))
     def bestPerGroup(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
       grouped.agg(
         max_by(col("file_id"), struct(col("q"), -col("file_id"))).as("doc_id"),
         count(lit(1)).as("n_merged"),
         max(col("q")).as("rep_quality"))
     val nearKept = bestPerGroup(
-      graft.near.NearDup.allFileClusters(files, cfg)
+      graft.near.NearDup.allFileClusters(files.drop("q"), cfg)
         .join(files.select("file_id", "q"), Seq("file_id"))
         .groupBy("cluster_id"))
       .select("doc_id", "n_merged", "rep_quality")

@@ -87,6 +87,28 @@ class CheckpointSpec extends SparkSpec {
     assert(direct.exceptAll(again).count() == 0)
   }
 
+  test("finished_at tie with conflicting lineages recomputes (no arbitrary winner)") {
+    import graft.state.Checkpoints.StageMetric
+    import spark.implicits._
+    val root = freshRoot()
+    // two runs land manifest rows for bucket 0 in the SAME millisecond with
+    // different lineages — neither may be trusted
+    Seq(
+      StageMetric("exact", 0, 1L, 10L, 1L, "lineage-A", 1000L),
+      StageMetric("exact", 0, 1L, 10L, 1L, "lineage-B", 1000L),
+      StageMetric("exact", 1, 1L, 10L, 1L, "lineage-A", 1000L))
+      .toDF().write.mode("append").parquet(s"$root/_metrics")
+    val valid = Checkpoints.validBuckets(spark, root, "exact", 2, _ => "lineage-A")
+    assert(valid == Set(1), s"ambiguous tie must invalidate bucket 0: $valid")
+    // an unambiguous tie (same lineage twice) stays valid
+    val root2 = freshRoot()
+    Seq(
+      StageMetric("exact", 0, 1L, 10L, 1L, "lineage-A", 1000L),
+      StageMetric("exact", 0, 1L, 10L, 1L, "lineage-A", 1000L))
+      .toDF().write.mode("append").parquet(s"$root2/_metrics")
+    assert(Checkpoints.validBuckets(spark, root2, "exact", 1, _ => "lineage-A") == Set(0))
+  }
+
   test("metrics carry stage lineage and per-bucket rows/bytes") {
     val root = freshRoot()
     Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)

@@ -43,6 +43,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size == n && got.values.toSet == Set(1L))
   }
 
+  test("maxIter exhaustion still yields exactly one label per vertex") {
+    // a too-small round cap must degrade to PARTIAL labels (like hash-min
+    // did), never to duplicate conflicting rows per vertex — downstream
+    // cluster expansions would silently double-count members
+    val n = 64L
+    val verts = (1L to n).toDF("file_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = ConnectedComponents.run(verts, edges, maxIter = 1)
+      .as[(Long, Long)].collect()
+    assert(labels.length == n, s"expected $n rows, got ${labels.length}")
+    assert(labels.map(_._1).distinct.length == n)
+  }
+
   test("random graph matches a union-find oracle") {
     // deterministic pseudo-random graph: 400 nodes, 300 edges
     val n = 400
