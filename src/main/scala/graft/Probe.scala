@@ -34,6 +34,34 @@ object Probe {
       }
       big16.unpersist()
     }
+    // embedding-tier robustness alone: SPARK_GRAFT_PROBE_EMB=1
+    if (sys.env.get("SPARK_GRAFT_PROBE_X16").contains("1") ||
+        sys.env.get("SPARK_GRAFT_PROBE_EMB").contains("1")) {
+      // embedding tier at ×16 (~80k vectors): every vector gains 15
+      // near-identical copies (one milli-unit bumped per copy), so
+      // hyperplane buckets hold dense near-dup families — the cap + salted
+      // join MUST engage for the pair join to complete. Bucket width scales
+      // with the corpus via bitsFor; the DEDUP path targets ~64 members per
+      // bucket (top-k probing tolerates 512, but a pair join is quadratic
+      // per bucket — wide buckets are all-pairs-shaped work)
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(spark, sfDir)
+      val bigE = emb.crossJoin(spark.range(16).toDF("copy"))
+        .select(
+          (col("vec_id") * 16 + col("copy")).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + when(i === col("copy") % 64, lit(0.001f))
+              .otherwise(lit(0.0f))).as("embedding"),
+          col("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nE = bigE.count()
+      t(s"cosine_pairs_x16 (n=$nE, bits=${sim.Ann.bitsFor(nE, 64)})") {
+        sim.Ann.cosineDupPairs(bigE, 0.99,
+          bits = sim.Ann.bitsFor(nE, 64), maxBucket = 4096,
+          hotBucket = 512, salts = 16).count()
+      }
+      bigE.unpersist()
+    }
     import graft.near.{NearConfig, NearDup}
     val cfg = NearConfig()
     // pipeline stage breakdown (each timed cold)

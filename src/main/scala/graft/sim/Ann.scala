@@ -231,7 +231,15 @@ object Ann {
     * `targetBucket` as the corpus grows: bits ≈ log2(n / target). The
     * embedding tier's blocking discipline matches the text tier's — at 100×
     * the data, pass `bits = bitsFor(n)` so buckets stay bounded instead of
-    * each holding n/2^bits members. */
+    * each holding n/2^bits members.
+    *
+    * Pick `targetBucket` by access pattern: top-k PROBING reads a bucket
+    * linearly, so ~512 is fine (the default); the DEDUP pair join is
+    * QUADRATIC per bucket — target ~32-64 there (candidate volume ≈
+    * tables × n × target/2, so a 512-wide bucket costs 8-16× the pair work
+    * of a 64-wide one for the same recall at high thresholds: near-identical
+    * vectors agree on almost every hyperplane, so finer buckets barely cost
+    * recall). */
   def bitsFor(n: Long, targetBucket: Int = 512): Int =
     math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(
       math.max(1L, n / math.max(1, targetBucket))))
