@@ -164,7 +164,49 @@ object OracleNear {
        |),
        |""".stripMargin + nearCtes(cap) + sql
 
+  /** LSH pairs over ALL scanned rows (no exact-dup rep collapse) — the
+    * batch twin of the STREAMING candidate tier, whose per-bucket state
+    * cannot assume a prior rep-collapse pass. Same shingle/MinHash/band
+    * formulas as nearCtes, sourced from the raw scan. */
+  private val lshAllSql: String = {
+    val cap = graft.near.NearConfig().maxBucket
+    s"""WITH ${Oracle.corpusCte.trim.stripPrefix("WITH ")},
+       |scn AS (
+       |  SELECT file_id, content FROM corpus WHERE size >= 5
+       |), shingles AS (
+       |  SELECT DISTINCT file_id,
+       |    (CAST(ascii(substr(content, CAST(i AS INT)    , 1)) AS BIGINT) * 4294967296 +
+       |     CAST(ascii(substr(content, CAST(i AS INT) + 1, 1)) AS BIGINT) * 16777216 +
+       |     CAST(ascii(substr(content, CAST(i AS INT) + 2, 1)) AS BIGINT) * 65536 +
+       |     CAST(ascii(substr(content, CAST(i AS INT) + 3, 1)) AS BIGINT) * 256 +
+       |     CAST(ascii(substr(content, CAST(i AS INT) + 4, 1)) AS BIGINT)) % 2147483647 AS x
+       |  FROM (SELECT file_id, content,
+       |               unnest(generate_series(1, length(content) - 4)) AS i
+       |        FROM scn)
+       |), perms AS (
+       |  SELECT j, (j + 1) * 2654435761 % 2147483646 + 1 AS a,
+       |         (j + 1) * 2654435497 % 2147483647 AS b
+       |  FROM (SELECT unnest(generate_series(0, 127)) AS j)
+       |), sigs AS (
+       |  SELECT file_id, j, min((a * x + b) % 2147483647) AS sig
+       |  FROM shingles CROSS JOIN perms GROUP BY file_id, j
+       |), bands AS (
+       |  SELECT file_id, CAST(j // 8 AS BIGINT) AS band_idx,
+       |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
+       |  FROM sigs GROUP BY file_id, j // 8
+       |), bandsk AS (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= $cap
+       |)
+       |SELECT DISTINCT l.file_id AS a, r.file_id AS b
+       |FROM bandsk l JOIN bandsk r
+       |  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+       |WHERE l.file_id < r.file_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_lsh_pairs_all" -> lshAllSql,
+
     "q_reps" -> n(
       "SELECT file_id, repo, path, size FROM reps"),
 

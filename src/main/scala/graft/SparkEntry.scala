@@ -195,6 +195,11 @@ object SparkEntry {
         corpus.filter(col("repo") =!= "mirror2"), cfg).select("size", "hash")
       streaming.IncrementalDedup.batchClassify(corpus, db, cfg)
     }),
+    // batch twin of the streaming LSH candidate tier (bucket state as rows
+    // land — IncrementalNearDup.streamLshPairs; PipelineSpec asserts
+    // stream ≡ this relation): band-bucket pair join over ALL scanned rows
+    "q_lsh_pairs_all" -> ((s, dir) =>
+      streaming.IncrementalNearDup.batchLshPairs(Tables.corpus(s, dir))),
 
     // — events: windowed agg (streaming-equivalent) + sessionization —
     "q_events_window" -> ((s, dir) =>

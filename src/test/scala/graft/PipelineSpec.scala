@@ -214,6 +214,21 @@ class PipelineSpec extends SparkSpec {
     assert(mirrorRows.filter(col("status") === "FIRST").count() == 0)
   }
 
+  test("incremental streaming LSH candidates equal the batch bucket join") {
+    import graft.streaming.IncrementalNearDup
+    val q = IncrementalNearDup.streamLshPairs(spark, sf, "incr_lsh_test")
+    q.processAllAvailable()
+    q.stop()
+    // pairs surface once per shared band — dedup like any bucket-join consumer
+    val streamed = spark.table("incr_lsh_test").select("a", "b").distinct()
+    val batch = IncrementalNearDup.batchLshPairs(Tables.corpus(spark, sf))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+    // a < b always (canonical candidate orientation)
+    assert(streamed.filter(col("a") >= col("b")).count() == 0)
+  }
+
   test("sessions: no session spans a gap larger than the threshold") {
     val events = Tables.events(spark, sf)
     val s = EventsStream.sessions(events, gapMinutes = 30)
