@@ -109,17 +109,21 @@ object NearDup {
     bandsOf(signatures(files, cfg), cfg)
 
   /** Banding from a precomputed signatures frame (lets composite pipelines
-    * persist `signatures` once instead of re-deriving it per stage). */
-  def bandsOf(sigs: DataFrame, cfg: NearConfig): DataFrame = {
+    * persist `signatures` once instead of re-deriving it per stage).
+    * `carryCols` rides extra per-file columns into every band row (the
+    * fused verification path carries the 136 B byte sketch this way). */
+  def bandsOf(sigs: DataFrame, cfg: NearConfig,
+              carryCols: Seq[String] = Nil): DataFrame = {
     val r = cfg.rowsPerBand
     sigs
-      .select(col("file_id"),
+      .select(col("file_id") +: carryCols.map(col) :+
         posexplode(expr(
           s"""transform(sequence(0, ${cfg.bands - 1}), b ->
              |  array_join(transform(slice(sig, b * $r + 1, $r),
-             |             v -> cast(v as string)), ','))""".stripMargin)))
-      .select(col("file_id"), col("pos").cast("long").as("band_idx"),
-        col("col").as("band_key"))
+             |             v -> cast(v as string)), ','))""".stripMargin)): _*)
+      .select(col("file_id") +: carryCols.map(col) :+
+        col("pos").cast("long").as("band_idx") :+
+        col("col").as("band_key"): _*)
   }
 
   /** LSH candidate pairs: equi-join within (band_idx, band_key) buckets,
@@ -190,25 +194,46 @@ object NearDup {
     * its result is checkpointed. */
   def verifiedPairsOf(reps: DataFrame, cfg: NearConfig,
                       scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
-    val sigs = scope.persist(fastSignatures(reps, cfg))
-    val lsh = lshPairsOf(bandsOf(sigs, cfg), cfg, scope)
-    val sim = simhashPairsOf(simhashesOf(reps, cfg), cfg, scope)
-    val cands = scope.persist(lsh.union(sim).distinct())
-    // STAGE 1 — byte-sketch prefilter: SimHash chunk collisions over
-    // similar-vocabulary corpora admit orders of magnitude more candidates
-    // than survive exact verification (realistic boilerplate: 555k
-    // candidates → 2.3k verified at sf0.1). Estimating Jaccard from the
-    // 136-byte signature sketch FIRST means the wide shingle arrays are
-    // joined only to plausible pairs; cutoff is ≥5σ recall-safe
-    // (NearConfig.sketchMin) and deterministic, so the oracle applies the
-    // identical filter
-    val sk = scope.persist(sigs.select(col("file_id"),
-      NearDupFunctions.sketchBytes(col("sig")).as("sk")))
-    val plausible = scope.persist(cands
-      .join(sk.select(col("file_id").as("a"), col("sk").as("sk_a")), Seq("a"))
-      .join(sk.select(col("file_id").as("b"), col("sk").as("sk_b")), Seq("b"))
-      .filter(NearDupFunctions.sketchAgree(col("sk_a"), col("sk_b")) >= cfg.sketchMin)
-      .select("a", "b"))
+    // ONE content pass computes the MinHash signature, the SimHash, and the
+    // 136 B byte sketch for every rep (the split formulation re-scanned
+    // reps once per signal)
+    val sigs = scope.persist(
+      reps.filter(length(col("content")) >= cfg.shingleK)
+        .select(col("file_id"),
+          NearDupFunctions.minhashContent(col("content"), cfg.numPerms).as("sig"),
+          NearDupFunctions.simhash(col("content"), cfg.simBits).as("simhash"))
+        .withColumn("sk", NearDupFunctions.sketchBytes(col("sig"))))
+    // STAGE 1 — candidates with the byte-sketch prefilter FUSED into the
+    // bucket joins: the sketch rides the band/chunk rows as a Salting
+    // payload, so hamming-collision candidates are discarded inside the
+    // join projection — never materialized, shuffled, or distinct'd as a
+    // standalone relation (realistic boilerplate at sf0.1: 555k raw
+    // candidates → ~2.3k plausible). The sketch test is pair-deterministic,
+    // so filtering before the union-distinct is result-identical to the
+    // oracle's filter-after-distinct; cutoff ≥5σ recall-safe
+    // (NearConfig.sketchMin).
+    val agreeOk = NearDupFunctions.sketchAgree(col("sk_a"), col("sk_b")) >= cfg.sketchMin
+    val lsh = graft.skew.Salting.bucketPairs(
+      scope.persist(bandsOf(sigs, cfg, carryCols = Seq("sk"))),
+      Seq("band_idx", "band_key"), "file_id", Seq("sk"),
+      cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
+      .filter(agreeOk)
+      .select("a", "b")
+    val w = cfg.simBits / cfg.simChunks
+    val mask = (1L << w) - 1
+    val chunked = scope.persist(sigs
+      .select(col("file_id"), col("simhash"), col("sk"),
+        posexplode(expr(
+          s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
+      .select(col("file_id"), col("simhash"), col("sk"),
+        col("pos").as("chunk_idx"), col("col").as("chunk")))
+    val sim = graft.skew.Salting.bucketPairs(chunked, Seq("chunk_idx", "chunk"),
+      "file_id", Seq("simhash", "sk"),
+      cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
+      .filter(expr(s"bit_count(simhash_a ^ simhash_b) <= ${cfg.hammingMax}"))
+      .filter(agreeOk)
+      .select("a", "b")
+    val plausible = scope.persist(lsh.union(sim).distinct())
     // STAGE 2 — exact verification: shingle ARRAYS are computed only for
     // members of plausible pairs (a tiny subset at scale), never every rep
     val candIds = plausible.select(col("a").as("file_id"))
