@@ -233,7 +233,20 @@ object Main {
         Report.rmShell(sets(), mode).foreach(println); 0
       case "near" =>
         val out = opts.getOrElse("out", "/tmp/graft_neardup_pairs")
-        NearDup.verifiedPairs(corpus, NearConfig()).write.mode("overwrite").parquet(out)
+        // --checkpoint: the signal stage (the dominant per-row pass) is
+        // per-bucket resumable; pair joins run live from stored signals
+        val pairs = opts.get("checkpoint") match {
+          case Some(root) =>
+            val ncfg = NearConfig()
+            val sigs = graft.state.Checkpoints.checkpointedNearSignatures(
+              spark, corpus, root, opts.getOrElse("buckets", "8").toInt, ncfg)
+            graft.util.PersistScope.scoped { s =>
+              NearDup.verifiedPairsFromSigs(s.persist(sigs),
+                s.persist(NearDup.representatives(corpus, ncfg)), ncfg, s)
+            }
+          case None => NearDup.verifiedPairs(corpus, NearConfig())
+        }
+        pairs.write.mode("overwrite").parquet(out)
         println(s"near-dup pairs written to $out"); 0
       case "clusters" =>
         val out = opts.getOrElse("out", "/tmp/graft_clusters")

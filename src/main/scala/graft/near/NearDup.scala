@@ -192,17 +192,27 @@ object NearDup {
     * instead of re-deriving the whole upstream per stage. Intermediate
     * persists go through `scope`; the composite entry releases them after
     * its result is checkpointed. */
+  /** ONE content pass computing every per-row signal the candidate tier
+    * needs — MinHash signature, SimHash, 136 B byte sketch (+ size for the
+    * checkpoint metrics). THE wall-clock-dominant map pass at corpus scale,
+    * which is why it is also the near tier's checkpoint unit
+    * ([[graft.state.Checkpoints.checkpointedNearSignatures]]). */
+  def signalFrame(reps: DataFrame, cfg: NearConfig): DataFrame =
+    reps.filter(length(col("content")) >= cfg.shingleK)
+      .select(col("file_id"), col("size"),
+        NearDupFunctions.minhashContent(col("content"), cfg.numPerms).as("sig"),
+        NearDupFunctions.simhash(col("content"), cfg.simBits).as("simhash"))
+      .withColumn("sk", NearDupFunctions.sketchBytes(col("sig")))
+
   def verifiedPairsOf(reps: DataFrame, cfg: NearConfig,
-                      scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
-    // ONE content pass computes the MinHash signature, the SimHash, and the
-    // 136 B byte sketch for every rep (the split formulation re-scanned
-    // reps once per signal)
-    val sigs = scope.persist(
-      reps.filter(length(col("content")) >= cfg.shingleK)
-        .select(col("file_id"),
-          NearDupFunctions.minhashContent(col("content"), cfg.numPerms).as("sig"),
-          NearDupFunctions.simhash(col("content"), cfg.simBits).as("simhash"))
-        .withColumn("sk", NearDupFunctions.sketchBytes(col("sig"))))
+                      scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame =
+    verifiedPairsFromSigs(scope.persist(signalFrame(reps, cfg)), reps, cfg, scope)
+
+  /** Stage 1+2 from a precomputed (possibly checkpoint-restored) signal
+    * frame; `reps` supplies content only for the plausible candidates'
+    * exact verification (semi-joined — never a full re-read). */
+  def verifiedPairsFromSigs(sigs: DataFrame, reps: DataFrame, cfg: NearConfig,
+                            scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
     // STAGE 1 — candidates with the byte-sketch prefilter FUSED into the
     // bucket joins: the sketch rides the band/chunk rows as a Salting
     // payload, so hamming-collision candidates are discarded inside the

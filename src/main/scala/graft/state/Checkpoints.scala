@@ -150,9 +150,15 @@ object Checkpoints {
     * collision). Drift in membership, size, or commit of any row in a
     * bucket changes that bucket's fingerprint. Buckets with no rows get the
     * empty fingerprint. */
-  def inputFingerprints(files: DataFrame, nBuckets: Int): Map[Int, String] = {
+  def inputFingerprints(files: DataFrame, nBuckets: Int): Map[Int, String] =
+    inputFingerprintsBy(files, nBuckets, bucketOf(nBuckets))
+
+  /** [[inputFingerprints]] under an arbitrary bucketing expression (the
+    * near tier buckets by file_id, not size). */
+  def inputFingerprintsBy(files: DataFrame, nBuckets: Int,
+                          bucket: Column): Map[Int, String] = {
     val rows = files
-      .groupBy(bucketOf(nBuckets).cast("int").as("__b"))
+      .groupBy(bucket.cast("int").as("__b"))
       .agg(
         count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col("file_id"), col("size"), col("commit"))),
@@ -182,6 +188,33 @@ object Checkpoints {
     }
   }
 
-  /** Non-negative modulus (sizes are non-negative; kept explicit). */
+  /** Checkpointed near-dup SIGNAL stage: the per-row (sig, simhash, sketch)
+    * computation — the wall-clock-dominant map pass of the near tier at
+    * corpus scale — resumable per file_id-hash bucket. Unlike the exact
+    * tier, the near tier's PAIR stages cross bucket boundaries (LSH buckets
+    * ignore size/id), so the pair joins always run live — but they run from
+    * the stored signals, never re-reading content except for the plausible
+    * candidates' exact verification. Lineage = every NearConfig field that
+    * shapes a signal + the bucket's input fingerprint (membership/size/
+    * commit drift recomputes exactly the drifted buckets). */
+  def checkpointedNearSignatures(spark: SparkSession, files: DataFrame,
+                                 root: String, nBuckets: Int,
+                                 cfg: graft.near.NearConfig = graft.near.NearConfig(),
+                                 onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    val cfgLineage = s"nearsig:v1:k=${cfg.shingleK}:perms=${cfg.numPerms}:" +
+      s"simBits=${cfg.simBits}:nBuckets=$nBuckets"
+    val reps = graft.near.NearDup.representatives(files, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fps = inputFingerprintsBy(reps, nBuckets, pmod(col("file_id"), nBuckets))
+      runStage(spark, root, "nearsig", nBuckets,
+        b => s"$cfgLineage:fp(${fps(b)})", onlyBuckets) { b =>
+        graft.near.NearDup.signalFrame(
+          reps.filter(pmod(col("file_id"), nBuckets) === b), cfg)
+      }
+    } finally reps.unpersist(blocking = false)
+  }
+
+  /** Non-negative modulus (sizes/file_ids are non-negative; kept explicit). */
   private def pmod(c: Column, n: Int) = c % n
 }

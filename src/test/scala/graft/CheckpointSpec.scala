@@ -109,6 +109,34 @@ class CheckpointSpec extends SparkSpec {
     assert(Checkpoints.validBuckets(spark, root2, "exact", 1, _ => "lineage-A") == Set(0))
   }
 
+  test("near-tier signal checkpointing resumes and reproduces direct pairs") {
+    import graft.near.{NearConfig, NearDup}
+    import graft.util.PersistScope
+    val root = freshRoot()
+    val ncfg = NearConfig()
+    // interrupted signal run: 2 of 4 buckets land
+    graft.state.Checkpoints.checkpointedNearSignatures(spark, corpus, root, 4,
+      ncfg, onlyBuckets = Some(Set(0, 1)))
+    val partial = graft.state.Checkpoints.readMetrics(spark, root)
+      .filter(col("stage") === "nearsig")
+    assert(partial.count() == 2)
+    // resume completes the rest; pairs from the stored signals equal the
+    // direct pipeline exactly
+    val sigs = graft.state.Checkpoints.checkpointedNearSignatures(
+      spark, corpus, root, 4, ncfg)
+    val viaCkpt = PersistScope.scoped { s =>
+      NearDup.verifiedPairsFromSigs(s.persist(sigs),
+        s.persist(NearDup.representatives(corpus, ncfg)), ncfg, s)
+    }
+    val direct = NearDup.verifiedPairs(corpus, ncfg)
+    assert(viaCkpt.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaCkpt).count() == 0)
+    // signal-shaping config drift (numPerms) invalidates the stored buckets
+    val drifted = graft.state.Checkpoints.checkpointedNearSignatures(
+      spark, corpus, root, 4, ncfg.copy(numPerms = 64, bands = 8))
+    assert(drifted.selectExpr("size(sig)").head().getInt(0) == 64)
+  }
+
   test("metrics carry stage lineage and per-bucket rows/bytes") {
     val root = freshRoot()
     Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)
