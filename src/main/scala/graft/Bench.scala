@@ -39,7 +39,10 @@ object Bench {
     // Scaling main already uses.
     val reps0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // a query that errors on ANY rep is reported ONLY in `errors` — never
+    // with a valid-looking time in `queries` (and a failed rep's elapsed
+    // time never updates the min)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
       var reps = math.max(1, reps0)
@@ -47,17 +50,19 @@ object Bench {
       while (rep < reps && !errored) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
+        var ok = true
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           failed += name
           errored = true
+          ok = false
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9
-        if (t < best) best = t
-        if (rep == 0 && t > 30.0) reps = math.min(reps, 2)
+        if (ok && t < best) best = t
+        if (ok && rep == 0 && t > 30.0) reps = math.min(reps, 2)
         rep += 1
       }
-      name -> best
+      if (errored) None else Some(name -> best)
     }
 
     // headline: exact-dedup scan throughput (files/sec over the corpus).

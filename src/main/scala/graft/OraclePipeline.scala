@@ -417,14 +417,17 @@ object OraclePipeline {
         |FROM documents""".stripMargin,
 
     // byte histogram of the utf-8 payload, 16 bins, zeros included — the
-    // decode stub's exact-integer core (documents are ASCII, so byte ==
-    // codepoint and ascii(substr(..)) reads the byte value)
+    // decode stub's exact-integer core. Genuinely BYTE-based (hex(encode())
+    // sliced two chars per byte), matching FakeDecoder.histogram for
+    // non-ASCII text too: a multi-byte char contributes each of its UTF-8
+    // bytes, not its codepoint
     "q_mm_features" ->
       """WITH by AS (
         |  SELECT doc_id,
-        |         ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bin
-        |  FROM (SELECT doc_id, text,
-        |               unnest(generate_series(1, length(text))) AS i
+        |         CAST(('0x' || substring(hx, CAST(2 * i - 1 AS INT), 2))
+        |              AS INT) // 16 AS bin
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |               unnest(generate_series(1, octet_length(encode(text)))) AS i
         |        FROM documents)
         |), c AS (
         |  SELECT doc_id, bin, count(*) AS n FROM by GROUP BY doc_id, bin
@@ -462,13 +465,15 @@ object OraclePipeline {
         |           FROM sm GROUP BY doc_id) a ON a.doc_id = d.doc_id""".stripMargin,
 
     // resize twin: histogram bins beyond the real 16 read as zero-padding
-    // (bins 16..23); truncation would simply bound the dim series
+    // (bins 16..23); truncation would simply bound the dim series. Same
+    // BYTE-based histogram as q_mm_features (non-ASCII-safe)
     "q_mm_resize" ->
       """WITH by AS (
         |  SELECT doc_id,
-        |         ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bin
-        |  FROM (SELECT doc_id, text,
-        |               unnest(generate_series(1, length(text))) AS i
+        |         CAST(('0x' || substring(hx, CAST(2 * i - 1 AS INT), 2))
+        |              AS INT) // 16 AS bin
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |               unnest(generate_series(1, octet_length(encode(text)))) AS i
         |        FROM documents)
         |), c AS (
         |  SELECT doc_id, bin, count(*) AS n FROM by GROUP BY doc_id, bin
@@ -478,6 +483,47 @@ object OraclePipeline {
         |FROM documents d
         |CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS dim) b
         |LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = b.dim""".stripMargin,
+
+    // BMP decode twin: the engine synthesizes a 24bpp bottom-up BMP per doc
+    // (width 5 + id%4, one pixel per text CODEPOINT with channels
+    // (cp%256, cp*7%256, cp*13%256), black padding pixels to fill the last
+    // row) and decodes it with a real stride/row-order-aware parser; the
+    // oracle replays the generative formula. b_weighted = Σ i·(cp_i % 256)
+    // over 1-based top-down pixel index — positionally sensitive, so a
+    // decoder that misread the stride or row order cannot hash-match
+    "q_mm_bmp" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         ascii(substr(text, CAST(i AS INT), 1)) AS cp, i
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    sum(cp % 256) AS sb,
+        |    sum((cp * 7) % 256) AS sg,
+        |    sum((cp * 13) % 256) AS sr,
+        |    min(least(cp % 256, (cp * 7) % 256, (cp * 13) % 256)) AS mn,
+        |    max(greatest(cp % 256, (cp * 7) % 256, (cp * 13) % 256)) AS mx,
+        |    sum(i * (cp % 256)) AS bw
+        |  FROM px GROUP BY doc_id
+        |), geo AS (
+        |  SELECT doc_id,
+        |    CAST(5 + doc_id % 4 AS BIGINT) AS w,
+        |    CAST(length(text) AS BIGINT) AS n
+        |  FROM documents
+        |)
+        |SELECT g.doc_id, g.w AS width,
+        |  greatest(1, (g.n + g.w - 1) // g.w) AS height,
+        |  g.w * greatest(1, (g.n + g.w - 1) // g.w) AS n_px,
+        |  CAST(coalesce(a.sb, 0) AS BIGINT) AS px_sum_b,
+        |  CAST(coalesce(a.sg, 0) AS BIGINT) AS px_sum_g,
+        |  CAST(coalesce(a.sr, 0) AS BIGINT) AS px_sum_r,
+        |  CAST(CASE WHEN g.w * greatest(1, (g.n + g.w - 1) // g.w) > g.n
+        |            THEN 0 ELSE coalesce(a.mn, 0) END AS BIGINT) AS px_min,
+        |  CAST(coalesce(a.mx, 0) AS BIGINT) AS px_max,
+        |  CAST(coalesce(a.bw, 0) AS BIGINT) AS b_weighted
+        |FROM geo g LEFT JOIN agg a ON a.doc_id = g.doc_id""".stripMargin,
 
     // frame sampling plumbing: payload split into 4 equal byte slices,
     // step = max(n/4, 1), frame i exists while i*step < n, trailing bytes

@@ -118,7 +118,15 @@ object SparkEntry {
     // brute-force DP oracle in LcsSpec.
     "q_lcs_pairs" -> ((s, dir) => {
       val corpus = Tables.corpus(s, dir)
-      near.Lcs.verify(near.NearDup.verifiedPairs(corpus), corpus)
+      // LCS verification is a QUERY over the stored near scan (the dupd
+      // scan/query split): verified pairs come from the lineage-guarded
+      // nearpairs checkpoint — computed once per (input fingerprint,
+      // config), read thereafter — so repeated downstream LCS passes do
+      // not re-run the whole candidate pipeline cold each time
+      val root = s"${sys.props("java.io.tmpdir")}/graft_nearpairs_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val pairs = graft.state.Checkpoints.checkpointedVerifiedPairs(s, corpus, root)
+      near.Lcs.verify(pairs, corpus)
         .select("a", "b", "jaccard", "lcs_len", "lcs_ratio")
     }),
 
@@ -232,7 +240,16 @@ object SparkEntry {
     // 16-bin histogram, padded to 24 dims — integer rows, hash-comparable
     "q_mm_resize" -> ((s, dir) =>
       mm.Multimodal.resizedHistogram(s,
-        mm.Multimodal.asMedia(Tables.documents(s, dir)), 24))
+        mm.Multimodal.asMedia(Tables.documents(s, dir)), 24)),
+    // the second REAL decode path: synthesized 24bpp bottom-up BMPs parsed
+    // back by a genuine header/stride/row-order-aware reader
+    // (graft.mm.Multimodal.Bmp); the oracle recomputes the expected pixel
+    // stats from the generative formula — exact integers, hash-comparable,
+    // with a position-weighted checksum that stride or row-order mistakes
+    // cannot fake
+    "q_mm_bmp" -> ((s, dir) =>
+      mm.Multimodal.decodeBmps(s,
+        mm.Multimodal.asBmpMedia(s, Tables.documents(s, dir))).toDF())
   )
 
   def oracleSql: Map[String, String] =

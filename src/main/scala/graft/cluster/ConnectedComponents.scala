@@ -32,17 +32,36 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Result of a CC run: `converged = false` means the labels are possibly
+    * PARTIAL (maxIter exhausted, or a 2^-64 signature collision ended the
+    * loop early) — callers must check it before trusting cluster_id. */
+  final case class CcResult(labels: DataFrame, rounds: Int, converged: Boolean)
+
   /** @param vertices one column `file_id`
     * @param edges    two columns `a`, `b` (undirected, any orientation)
+    * @param allowPartial accept possibly-partial labels on non-convergence
+    *                 instead of throwing — opt-in only: a silent partial
+    *                 result poisons every downstream cluster expansion
     * @return (file_id, cluster_id) — cluster_id = min file_id reachable
+    * @throws IllegalStateException when the rounds cap was exhausted and
+    *                 `allowPartial` is false
     */
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame =
-    runWithStats(vertices, edges, maxIter)._1
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50,
+          allowPartial: Boolean = false): DataFrame = {
+    val r = runWithStats(vertices, edges, maxIter)
+    if (!r.converged && !allowPartial)
+      throw new IllegalStateException(
+        s"connected components not converged after $maxIter rounds — " +
+          "labels would be partial (raise maxIter, or pass allowPartial=true)")
+    r.labels
+  }
 
-  /** [[run]], also returning the number of (large-star, small-star) rounds —
-    * the adversarial-fixture spec asserts the logarithmic round count. */
+  /** [[run]], also returning the (large-star, small-star) round count and
+    * the convergence flag — the adversarial-fixture spec asserts the
+    * logarithmic round count; library callers go through [[run]], which
+    * refuses non-converged labels unless explicitly allowed. */
   def runWithStats(vertices: DataFrame, edges: DataFrame,
-                   maxIter: Int = 50): (DataFrame, Int) = {
+                   maxIter: Int = 50): CcResult = {
     val spark = vertices.sparkSession
 
     // canonical undirected edges: hi > lo, self-loops dropped, deduped
@@ -109,7 +128,8 @@ object ConnectedComponents {
     }
     if (!converged)
       System.err.println(s"[graft.cc] NOT converged after $maxIter rounds " +
-        "— labels may be partial (raise maxIter)")
+        "— labels may be partial (raise maxIter); run() without " +
+        "allowPartial throws on this")
 
     // converged state is a forest of stars (hi -> component min): every
     // non-min vertex appears exactly once as hi. The min-aggregate is a
@@ -122,6 +142,6 @@ object ConnectedComponents {
         Seq("file_id"), "left")
       .select(col("file_id"),
         coalesce(col("__c"), col("file_id")).as("cluster_id"))
-    (labels, iter)
+    CcResult(labels, iter, converged)
   }
 }

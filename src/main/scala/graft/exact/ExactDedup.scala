@@ -301,6 +301,32 @@ object ExactDedup {
       .select("file_id", "repo", "path", "size", "hash", "status", "live_set_size")
   }
 
+  /** File ids of duplicate-set members that still have ≥ 1 non-excluded
+    * partner — the classification the reference's uniques/dups/ls listings
+    * apply under `--exclude-path`: partners under the prefix get
+    * STATUS_EXCLUDE and do not count toward verified_dups, so a file whose
+    * only partners are excluded reads UNIQUE; the listed file itself is NOT
+    * exempted by being under the prefix (its non-excluded partners still
+    * count) — /root/reference/src/report.c:243-251,413-452. With no prefix
+    * this is just the member id set. `dups` is the flat [[duplicates]]
+    * relation (live or stored). */
+  def dupIdsWithExclude(dups: DataFrame,
+                        excludePrefix: Option[String]): DataFrame =
+    excludePrefix match {
+      case None => dups.select("file_id")
+      case Some(p) =>
+        val flagged = dups.withColumn("excluded",
+          concat(col("repo"), lit("/"), col("path")).startsWith(p))
+        val live = flagged.filter(!col("excluded"))
+          .groupBy("size", "hash").agg(count(lit(1)).as("live"))
+        flagged.join(live, Seq("size", "hash"), "left")
+          .withColumn("live", coalesce(col("live"), lit(0L)))
+          .withColumn("others",
+            col("live") - when(!col("excluded"), lit(1L)).otherwise(lit(0L)))
+          .filter(col("others") >= 1)
+          .select("file_id")
+    }
+
   /** J2 verbose — `dupd file -v` member statuses evaluated against the
     * CURRENT snapshot (/root/reference/src/report.c:218-281): DUP = member
     * still present and byte-identical now; `---` = gone from the snapshot;

@@ -218,6 +218,144 @@ object Multimodal {
     }
   }
 
+  // ——— BMP: the second REAL (non-stub) decode path ————————————————————————
+  //
+  // Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp) is a public
+  // pixel container parseable with zero external libraries — the image
+  // analogue of the WAV tier above, shrinking FakeDecoder's remit to video
+  // only. The synthesizer plants the format's two classic traps: ROW STRIDE
+  // (each pixel row padded to a 4-byte boundary — widths 5/6/7 pad 1/2/3
+  // bytes, width 8 pads 0) and BOTTOM-UP row order (positive height stores
+  // the last image row first). A reader that ignores either gets the
+  // position-weighted checksum wrong; a fixed-offset slicer breaks on the
+  // header-size field.
+
+  case class BmpRow(doc_id: Long, payload: Array[Byte])
+  /** Exact-integer decode stats; `b_weighted` = Σ (p+1)·B(p) over TOP-DOWN
+    * row-major pixel index p — positionally sensitive, so stride or row-
+    * order mistakes cannot cancel out. */
+  case class BmpInfo(doc_id: Long, width: Long, height: Long, n_px: Long,
+                     px_sum_b: Long, px_sum_g: Long, px_sum_r: Long,
+                     px_min: Long, px_max: Long, b_weighted: Long)
+
+  object Bmp {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+    /** Channel values for text codepoint cp (codepoints, not UTF-8 bytes —
+      * same oracle-parity rule as [[Wav.sampleOf]]). */
+    def bOf(cp: Int): Int = cp & 0xff
+    def gOf(cp: Int): Int = (cp * 7) % 256
+    def rOf(cp: Int): Int = (cp * 13) % 256
+
+    /** Deterministic geometry: width 5..8 by doc id (strides 16/20/24/24 —
+      * pads 1/2/3/0), height = rows needed for one pixel per codepoint
+      * (min 1); pixels past the text are black padding pixels. */
+    def widthOf(docId: Long): Int = (5 + docId % 4).toInt
+    def heightOf(docId: Long, nCps: Long): Int =
+      math.max(1L, (nCps + widthOf(docId) - 1) / widthOf(docId)).toInt
+
+    /** One 24bpp bottom-up BMP per document: pixel p (top-down row-major)
+      * carries channel values of codepoint p, black past the text. */
+    def synthesize(docId: Long, text: String): Array[Byte] = {
+      val cps = text.codePoints().toArray
+      val w = widthOf(docId)
+      val h = heightOf(docId, cps.length.toLong)
+      val stride = ((w * 3 + 3) / 4) * 4
+      val imageSize = stride * h
+      val data = new Array[Byte](imageSize) // zero-initialized = black + pad
+      var p = 0
+      while (p < cps.length) {
+        val y = p / w; val x = p % w
+        val fileRow = h - 1 - y // bottom-up
+        val off = fileRow * stride + x * 3
+        data(off) = bOf(cps(p)).toByte
+        data(off + 1) = gOf(cps(p)).toByte
+        data(off + 2) = rOf(cps(p)).toByte
+        p += 1
+      }
+      val fileHeader = "BM".getBytes("US-ASCII") ++
+        le32(14 + 40 + imageSize) ++ le16(0) ++ le16(0) ++ le32(14 + 40)
+      val infoHeader = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(imageSize) ++ le32(2835) ++ le32(2835) ++
+        le32(0) ++ le32(0)
+      fileHeader ++ infoHeader ++ data
+    }
+
+    /** REAL decoder: validates the BM magic, reads the pixel-data offset
+      * from the file header and the geometry from the DIB header (any DIB
+      * size ≥ 40 — the offset field, not a hardcoded 54, locates the
+      * pixels), walks rows honoring the 4-byte stride and the row order
+      * (positive height = bottom-up, negative = top-down), and folds every
+      * pixel into exact-integer stats. Throws on malformed containers. */
+    def decode(docId: Long, bmp: Array[Byte]): BmpInfo = {
+      def u8(i: Int): Int = bmp(i) & 0xff
+      def le32At(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def le16At(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      require(bmp.length >= 54 && bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte,
+        s"doc $docId: not a BMP container")
+      val pixelOffset = le32At(10)
+      val dibSize = le32At(14)
+      require(dibSize >= 40, s"doc $docId: unsupported DIB header ($dibSize)")
+      val w = le32At(18)
+      val hRaw = le32At(22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      require(w > 0 && h > 0, s"doc $docId: bad geometry ${w}x$hRaw")
+      require(le16At(26) == 1, s"doc $docId: planes != 1")
+      require(le16At(28) == 24, s"doc $docId: not 24bpp")
+      require(le32At(30) == 0, s"doc $docId: compressed BMP unsupported")
+      val stride = ((w * 3 + 3) / 4) * 4
+      require(pixelOffset >= 54 && pixelOffset + stride.toLong * h <= bmp.length,
+        s"doc $docId: truncated pixel data")
+      var sumB = 0L; var sumG = 0L; var sumR = 0L; var bw = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var y = 0
+      while (y < h) {
+        val fileRow = if (topDown) y else h - 1 - y
+        val rowOff = pixelOffset + fileRow * stride
+        var x = 0
+        while (x < w) {
+          val b = u8(rowOff + x * 3)
+          val g = u8(rowOff + x * 3 + 1)
+          val r = u8(rowOff + x * 3 + 2)
+          sumB += b; sumG += g; sumR += r
+          bw += (y.toLong * w + x + 1) * b
+          val lo = math.min(b, math.min(g, r))
+          val hi = math.max(b, math.max(g, r))
+          if (lo < mn) mn = lo
+          if (hi > mx) mx = hi
+          x += 1
+        }
+        y += 1
+      }
+      BmpInfo(docId, w.toLong, h.toLong, w.toLong * h, sumB, sumG, sumR,
+        mn, mx, bw)
+    }
+  }
+
+  /** Documents as synthesized BMP blobs (one 24bpp pixel per text
+    * codepoint) — the image-table stand-in. */
+  def asBmpMedia(spark: SparkSession, documents: DataFrame): Dataset[BmpRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions(_.map { case (id, text) =>
+        BmpRow(id, Bmp.synthesize(id, text))
+      })
+  }
+
+  /** Partition-local REAL decode: BMP container -> exact-integer pixel
+    * stats (every column BIGINT, so the DuckDB oracle reproduces the decode
+    * from the generative formula bit for bit). */
+  def decodeBmps(spark: SparkSession, bmps: Dataset[BmpRow]): Dataset[BmpInfo] = {
+    import spark.implicits._
+    bmps.mapPartitions(_.map(r => Bmp.decode(r.doc_id, r.payload)))
+  }
+
   /** Documents as synthesized WAV blobs (one PCM16 sample per text
     * codepoint) — the audio-table stand-in. */
   def asWavMedia(spark: SparkSession, documents: DataFrame): Dataset[WavRow] = {

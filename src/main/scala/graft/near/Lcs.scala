@@ -25,7 +25,7 @@ object Lcs {
     * Field bounds: ranks start as codepoints (+2 ≤ 0x10FFFF+2 < 2^21) and
     * afterwards are < n; indices are < n; so n must stay < 2^21 codepoints
     * (2M — far above document-scale row content; guarded below). */
-  private[near] def suffixArray(s: Array[Int]): Array[Int] = {
+  private[graft] def suffixArray(s: Array[Int]): Array[Int] = {
     val n = s.length
     val sa = new Array[Int](n)
     if (n == 0) return sa
@@ -62,41 +62,84 @@ object Lcs {
   }
 
   /** Fallback for inputs past the 21-bit packing bound (≥ 2M codepoints):
-    * same prefix doubling, comparator sort over boxed indices — slower but
-    * correct at any size (candidate pairs that large are rare; the fast
-    * path handles all document-scale content). */
-  private def suffixArrayLarge(s: Array[Int]): Array[Int] = {
+    * prefix doubling with LINEAR counting sorts — O(n log n) total, zero
+    * boxing, no comparator. Each round orders suffixes by
+    * (rank, rank-at-offset-k) via the classic two-pass radix: first arrange
+    * by the second key for free (indices in [n-k, n) lead — their second
+    * key is empty/min — then prior-round sa entries shifted by k keep the
+    * second-key order), then one stable counting sort by the first key.
+    * Replaces the old comparator sort over boxed Integers that made ≥2M-
+    * codepoint pairs fall off a performance cliff. */
+  private[graft] def suffixArrayLarge(s: Array[Int]): Array[Int] = {
     val n = s.length
-    var rank = s.clone()
-    var tmp = new Array[Int](n)
-    val sa = Array.tabulate(n)(identity)
+    val sa = new Array[Int](n)
+    if (n == 0) return sa
+    val tmpSa = new Array[Int](n)
+    var rank = new Array[Int](n)
+    var tmpR = new Array[Int](n)
+    // initial round: counting sort over the codepoint alphabet (inputs are
+    // codepoints shifted +2 by lcsLength, so values are < 0x110002)
+    val k0 = 0x110002
+    val cnt = new Array[Int](math.max(n, k0) + 2)
+    var i = 0
+    while (i < n) { cnt(s(i) + 1) += 1; i += 1 }
+    i = 1
+    while (i <= k0) { cnt(i) += cnt(i - 1); i += 1 }
+    i = 0
+    while (i < n) { sa(cnt(s(i))) = i; cnt(s(i)) += 1; i += 1 }
+    rank(sa(0)) = 0
+    i = 1
+    while (i < n) {
+      rank(sa(i)) = rank(sa(i - 1)) + (if (s(sa(i)) != s(sa(i - 1))) 1 else 0)
+      i += 1
+    }
+    var maxRank = rank(sa(n - 1))
     var k = 1
-    while (true) {
-      def r2(i: Int): Int = if (i + k < n) rank(i + k) else -1
-      val boxed = sa.map(Integer.valueOf)
-      java.util.Arrays.sort(boxed, (x: Integer, y: Integer) => {
-        val c = Integer.compare(rank(x), rank(y))
-        if (c != 0) c else Integer.compare(r2(x), r2(y))
-      })
-      var i = 0
-      while (i < n) { sa(i) = boxed(i); i += 1 }
-      tmp(sa(0)) = 0
+    while (k < n && maxRank < n - 1) {
+      // pass 1 (free second-key order): suffixes starting in [n-k, n) have
+      // an empty second key (sorts first); the rest inherit the prior
+      // round's order through the shift p -> p-k
+      var idx = 0
+      i = n - k
+      while (i < n) { tmpSa(idx) = i; idx += 1; i += 1 }
+      i = 0
+      while (i < n) {
+        val p = sa(i)
+        if (p >= k) { tmpSa(idx) = p - k; idx += 1 }
+        i += 1
+      }
+      // pass 2: stable counting sort by first-key rank (values ≤ maxRank)
+      java.util.Arrays.fill(cnt, 0, maxRank + 2, 0)
+      i = 0
+      while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i <= maxRank + 1) { cnt(i) += cnt(i - 1); i += 1 }
+      i = 0
+      while (i < n) {
+        val p = tmpSa(i)
+        sa(cnt(rank(p))) = p
+        cnt(rank(p)) += 1
+        i += 1
+      }
+      // recompute ranks off the (rank, rank+k) pairs
+      def r2(p: Int): Int = if (p + k < n) rank(p + k) else -1
+      tmpR(sa(0)) = 0
       i = 1
       while (i < n) {
         val prev = sa(i - 1); val cur = sa(i)
         val less = rank(prev) != rank(cur) || r2(prev) != r2(cur)
-        tmp(cur) = tmp(prev) + (if (less) 1 else 0)
+        tmpR(cur) = tmpR(prev) + (if (less) 1 else 0)
         i += 1
       }
-      val t = rank; rank = tmp; tmp = t
-      if (rank(sa(n - 1)) == n - 1 || k >= n) return sa
+      val t = rank; rank = tmpR; tmpR = t
+      maxRank = rank(sa(n - 1))
       k <<= 1
     }
     sa
   }
 
   /** Kasai LCP: lcp(i) = longest common prefix of sa(i) and sa(i-1). */
-  private[near] def lcpArray(s: Array[Int], sa: Array[Int]): Array[Int] = {
+  private[graft] def lcpArray(s: Array[Int], sa: Array[Int]): Array[Int] = {
     val n = s.length
     val rank = new Array[Int](n)
     var i = 0

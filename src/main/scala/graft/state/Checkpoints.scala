@@ -124,8 +124,13 @@ object Checkpoints {
       val out = compute(b)
       out.write.mode(SaveMode.Overwrite).parquet(s"$root/$stage/bucket=$b")
       val written = spark.read.parquet(s"$root/$stage/bucket=$b")
+      // bytes metric = sum(size) when the stage output carries one (file
+      // relations do; pair relations have no byte dimension — record 0)
+      val bytesCol =
+        if (written.columns.contains("size")) coalesce(sum(col("size")), lit(0L))
+        else lit(0L)
       val (rows, bytes) = written
-        .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L)))
+        .agg(count(lit(1)), bytesCol)
         .as[(Long, Long)].head()
       val wallMs = (System.nanoTime() - t0) / 1000000
       Seq(StageMetric(stage, b, rows, bytes, wallMs, lineageOf(b),
@@ -213,6 +218,28 @@ object Checkpoints {
           reps.filter(pmod(col("file_id"), nBuckets) === b), cfg)
       }
     } finally reps.unpersist(blocking = false)
+  }
+
+  /** Checkpointed near-dup VERIFIED PAIRS: the tier's full candidate +
+    * verification output stored as one resumable stage. Unlike the signal
+    * stage, the pair relation crosses every bucket boundary (LSH buckets
+    * ignore file ids), so its checkpoint unit is the WHOLE input — one
+    * bucket guarded by the full NearConfig + whole-input fingerprint. A
+    * rerun over unchanged input+config READS the stored relation instead of
+    * recomputing the pipeline (the dupd scan/query split applied to the
+    * near tier: downstream consumers like LCS verification are query ops
+    * over the stored scan, /root/reference/docs/design.md:9-28); any drift
+    * in membership/size/commit or any config field recomputes. */
+  def checkpointedVerifiedPairs(spark: SparkSession, files: DataFrame,
+                                root: String,
+                                cfg: graft.near.NearConfig = graft.near.NearConfig()): DataFrame = {
+    // case-class toString carries every NearConfig field — any knob that
+    // shapes candidates or verification participates in the lineage
+    val cfgLineage = s"nearpairs:v1:$cfg"
+    val fps = inputFingerprintsBy(files, 1, lit(0))
+    runStage(spark, root, "nearpairs", 1, b => s"$cfgLineage:fp(${fps(b)})") { _ =>
+      graft.near.NearDup.verifiedPairs(files, cfg)
+    }
   }
 
   /** Non-negative modulus (sizes/file_ids are non-negative; kept explicit). */

@@ -8,8 +8,9 @@ import graft.exact.{DedupConfig, ExactDedup}
 
 /** Incremental (streaming) exact dedup — the dupd scan performed as files
   * LAND instead of as a batch rescan: each arriving row is digested
-  * map-side, checked against the STORED scan db (a stream-static broadcast
-  * join — the dupd scan/query split's db playing its hash-cache role,
+  * map-side, checked against the STORED scan db (an unhinted stream-static
+  * join: shuffled at scale, auto-broadcast only when the db measures small
+  * — the dupd scan/query split's db playing its hash-cache role,
   * /root/reference/src/dbops.c:84-96), and checked against everything seen
   * so far IN the stream via custom keyed state (flatMapGroupsWithState on
   * (size, hash), /root/reference/docs/design.md:9-28's incremental intent).
@@ -66,21 +67,34 @@ object IncrementalDedup {
 
   /** Streaming form: the corpus lands as a file stream (same construction
     * as the batch corpus — every step stateless), digests computed
-    * map-side, db membership via a stream-static broadcast join, in-stream
-    * dedup via keyed custom state. Memory sink; callers
-    * processAllAvailable() then read `queryName`. */
+    * map-side, db membership via a stream-static join, in-stream dedup via
+    * keyed custom state. Memory sink; callers processAllAvailable() then
+    * read `queryName`.
+    *
+    * The db join carries NO broadcast hint: the stored scan db has one key
+    * per distinct content, so at 10^9+ distinct contents a forced broadcast
+    * is a multi-GB build rebuilt into every executor per micro-batch — a
+    * driver/executor OOM at exactly the scale this operator exists for.
+    * Unhinted, Spark broadcasts only when the static side's measured size
+    * is under autoBroadcastJoinThreshold (the small-db fast path happens by
+    * itself) and otherwise plans a shuffled stream-static join. Callers
+    * that KNOW the db is tiny (a fixture, a single repo) can still force
+    * the fast path with `smallDb = true`. */
   def stream(spark: SparkSession, sfDir: String, queryName: String,
              dbKeys: DataFrame,
-             cfg: DedupConfig = DedupConfig()): StreamingQuery = {
+             cfg: DedupConfig = DedupConfig(),
+             smallDb: Boolean = false): StreamingQuery = {
     import spark.implicits._
     val docs = spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
+    val dbk0 = dbKeys.select("size", "hash").distinct()
+      .withColumn("__indb", lit(true))
+    val dbk = if (smallDb) broadcast(dbk0) else dbk0
     val scanned = ExactDedup.scanFilter(graft.Tables.corpusOf(docs), cfg)
       .withColumn("hash", ExactDedup.digest(col("content"), cfg))
-      .join(broadcast(dbKeys.select("size", "hash").distinct()
-        .withColumn("__indb", lit(true))), Seq("size", "hash"), "left")
+      .join(dbk, Seq("size", "hash"), "left")
       .select(col("file_id"), col("size"), col("hash"),
         coalesce(col("__indb"), lit(false)).as("indb"))
 

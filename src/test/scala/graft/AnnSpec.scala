@@ -109,6 +109,44 @@ class AnnSpec extends SparkSpec {
     assert(ivf.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
   }
 
+  test("IVF layout: stored probe reads only the probed lists (partition pruning)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ann.writeIvfIndex(emb, dir, nLists = 16)
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .count(_.getName.startsWith("cid="))
+    assert(listDirs >= 8, s"expected most of 16 lists populated, got $listDirs")
+    // the pruned scan: count parquet files the plan actually reads
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    val allFiles = scannedFiles(spark.read.parquet(s"$dir/lists"))
+    // probe any 2 real list ids (cid = the seed vector's vec_id, not 0..15)
+    val cids = spark.read.parquet(s"$dir/centroids").select("cid")
+      .collect().map(_.getLong(0)).sorted.take(2).toSeq
+    val pruned = Ann.ivfLists(spark, dir, cids)
+    val prunedFiles = scannedFiles(pruned)
+    info(s"IVF layout: full scan reads $allFiles files, 2-list probe reads $prunedFiles")
+    assert(prunedFiles < allFiles,
+      s"partition pruning did not reduce the read: $prunedFiles vs $allFiles")
+    assert(prunedFiles <= allFiles * 3 / listDirs,
+      s"probe reads more than ~2/$listDirs of the files: $prunedFiles vs $allFiles")
+    // and the stored-layout probe returns exactly what the in-memory IVF
+    // query returns (same centroid rule, same candidates, same ranks)
+    val stored = Ann.ivfProbeStored(spark, dir, 0L until 10L, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Ann.ivfTopK(emb, 0L until 10L, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == direct)
+  }
+
   test("planted hot embedding bucket: salted join equals plain, cap drops it") {
     // 200 copies of vector 0 under fresh ids: identical vectors share EVERY
     // (table, signature) bucket — the embedding analogue of the text tier's

@@ -137,6 +137,38 @@ class CheckpointSpec extends SparkSpec {
     assert(drifted.selectExpr("size(sig)").head().getInt(0) == 64)
   }
 
+  test("checkpointed verified pairs: computed once, read thereafter, drift recomputes") {
+    import graft.near.{NearConfig, NearDup}
+    val root = freshRoot()
+    val ncfg = NearConfig()
+    val first = Checkpoints.checkpointedVerifiedPairs(spark, corpus, root, ncfg)
+    val direct = NearDup.verifiedPairs(corpus, ncfg)
+    assert(first.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(first).count() == 0)
+    val ts1 = Checkpoints.readMetrics(spark, root)
+      .filter(col("stage") === "nearpairs")
+      .agg(max("finished_at")).head().getLong(0)
+    // unchanged input + config: the second call READS the stored relation
+    // (no new manifest row — nothing recomputed)
+    val again = Checkpoints.checkpointedVerifiedPairs(spark, corpus, root, ncfg)
+    assert(again.exceptAll(direct).count() == 0)
+    val m2 = Checkpoints.readMetrics(spark, root)
+      .filter(col("stage") === "nearpairs").collect()
+    assert(m2.length == 1 && m2.head.getLong(m2.head.fieldIndex("finished_at")) == ts1)
+    // config drift (verification threshold) recomputes under the new lineage
+    val strict = ncfg.copy(jaccardThreshold = 0.9)
+    val drifted = Checkpoints.checkpointedVerifiedPairs(spark, corpus, root, strict)
+    val directStrict = NearDup.verifiedPairs(corpus, strict)
+    assert(drifted.exceptAll(directStrict).count() == 0)
+    assert(directStrict.exceptAll(drifted).count() == 0)
+    // input drift (a repo vanishes) recomputes too
+    val mutated = corpus.filter(col("repo") =!= "fork")
+    val afterDrift = Checkpoints.checkpointedVerifiedPairs(spark, mutated, root, ncfg)
+    val directMut = NearDup.verifiedPairs(mutated, ncfg)
+    assert(afterDrift.exceptAll(directMut).count() == 0)
+    assert(directMut.exceptAll(afterDrift).count() == 0)
+  }
+
   test("metrics carry stage lineage and per-bucket rows/bytes") {
     val root = freshRoot()
     Checkpoints.checkpointedDuplicates(spark, corpus, root, 2, cfg)

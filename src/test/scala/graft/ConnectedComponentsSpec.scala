@@ -36,22 +36,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     val n = 600L
     val verts = (1L to n).toDF("file_id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
-    val (labels, rounds) = ConnectedComponents.runWithStats(verts, edges)
-    info(s"600-chain converged in $rounds alternating-star rounds")
-    assert(rounds <= 12, s"not logarithmic: $rounds rounds")
-    val got = labels.as[(Long, Long)].collect().toMap
+    val r = ConnectedComponents.runWithStats(verts, edges)
+    info(s"600-chain converged in ${r.rounds} alternating-star rounds")
+    assert(r.converged)
+    assert(r.rounds <= 12, s"not logarithmic: ${r.rounds} rounds")
+    val got = r.labels.as[(Long, Long)].collect().toMap
     assert(got.size == n && got.values.toSet == Set(1L))
   }
 
-  test("maxIter exhaustion still yields exactly one label per vertex") {
-    // a too-small round cap must degrade to PARTIAL labels (like hash-min
-    // did), never to duplicate conflicting rows per vertex — downstream
-    // cluster expansions would silently double-count members
+  test("maxIter exhaustion is DETECTABLE, and partial labels stay one-per-vertex") {
+    // a too-small round cap must be visible programmatically: run() throws
+    // unless the caller opts into partial results (a silent partial label
+    // set poisons every downstream cluster expansion)
     val n = 64L
     val verts = (1L to n).toDF("file_id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = ConnectedComponents.run(verts, edges, maxIter = 1)
-      .as[(Long, Long)].collect()
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(verts, edges, maxIter = 1)
+    }
+    val r = ConnectedComponents.runWithStats(verts, edges, maxIter = 1)
+    assert(!r.converged && r.rounds == 1)
+    // opted-in partial labels never duplicate conflicting rows per vertex —
+    // downstream cluster expansions would silently double-count members
+    val labels = ConnectedComponents.run(verts, edges, maxIter = 1,
+      allowPartial = true).as[(Long, Long)].collect()
     assert(labels.length == n, s"expected $n rows, got ${labels.length}")
     assert(labels.map(_._1).distinct.length == n)
   }

@@ -107,6 +107,60 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: BMP synth/decode roundtrip through a real pixel parser") {
+    import Multimodal.Bmp
+    val sample = docs.limit(40).select("doc_id", "text").collect()
+    val decoded = Multimodal.decodeBmps(spark,
+      Multimodal.asBmpMedia(spark, docs.limit(40))).collect()
+      .map(i => i.doc_id -> i).toMap
+    sample.foreach { r =>
+      val id = r.getLong(0)
+      val cps = r.getString(1).codePoints().toArray
+      val w = Bmp.widthOf(id)
+      val h = Bmp.heightOf(id, cps.length.toLong)
+      val got = decoded(id)
+      assert(got.width == w && got.height == h && got.n_px == w.toLong * h)
+      assert(got.px_sum_b == cps.map(c => Bmp.bOf(c).toLong).sum)
+      assert(got.px_sum_g == cps.map(c => Bmp.gOf(c).toLong).sum)
+      assert(got.px_sum_r == cps.map(c => Bmp.rOf(c).toLong).sum)
+      // position-weighted checksum: wrong stride or row order cannot match
+      assert(got.b_weighted == cps.zipWithIndex
+        .map { case (c, i) => (i + 1).toLong * Bmp.bOf(c) }.sum)
+      val chan = cps.flatMap(c => Seq(Bmp.bOf(c), Bmp.gOf(c), Bmp.rOf(c)))
+      if (cps.isEmpty) assert(got.px_min == 0 && got.px_max == 0)
+      else {
+        assert(got.px_max == chan.max.toLong)
+        val hasPad = w.toLong * h > cps.length
+        assert(got.px_min == (if (hasPad) 0L else chan.min.toLong))
+      }
+    }
+    // a TOP-DOWN variant (negative height, rows reversed) must decode to
+    // the identical stats — proves the decoder reads the sign and remaps
+    // file rows, rather than assuming one layout
+    val text = "hello brave new bitmap world!!"
+    val bu = Bmp.synthesize(5L, text) // id 5 -> width 6, stride 20 (pad 2)
+    val h5 = Bmp.heightOf(5L, text.codePoints().count())
+    val stride = ((Bmp.widthOf(5L) * 3 + 3) / 4) * 4
+    val td = bu.clone()
+    val neg = -h5
+    td(22) = (neg & 0xff).toByte; td(23) = ((neg >> 8) & 0xff).toByte
+    td(24) = ((neg >> 16) & 0xff).toByte; td(25) = ((neg >> 24) & 0xff).toByte
+    for (r <- 0 until h5; i <- 0 until stride)
+      td(54 + r * stride + i) = bu(54 + (h5 - 1 - r) * stride + i)
+    assert(Bmp.decode(5L, td) == Bmp.decode(5L, bu))
+    // malformed containers are rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      Bmp.decode(0L, "NOPEnopeNOPEnopeNOPEnope".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Bmp.decode(5L, bu.dropRight(4)) // truncated pixel data
+    }
+    intercept[IllegalArgumentException] {
+      val bad = bu.clone(); bad(28) = 32.toByte // claim 32bpp
+      Bmp.decode(5L, bad)
+    }
+  }
+
   test("streaming windowed agg matches the batch equivalent") {
     val q = EventsStream.stream(spark, sf, "events_agg_test")
     q.processAllAvailable()
@@ -212,6 +266,51 @@ class PipelineSpec extends SparkSpec {
     assert(byStatus("FIRST") > 0 && byStatus("STREAM_DUP") > 0)
     val mirrorRows = streamed.filter(col("file_id") >= 1000000L && col("file_id") < 3000000L)
     assert(mirrorRows.filter(col("status") === "FIRST").count() == 0)
+  }
+
+  test("streaming db join never forces a broadcast (large-db shape)") {
+    import graft.exact.{DedupConfig, ExactDedup}
+    import graft.streaming.IncrementalDedup
+    val cfg = DedupConfig()
+    val corpus = Tables.corpus(spark, sf)
+    // autoBroadcastJoinThreshold = -1 stands in for a db whose measured
+    // size exceeds the threshold (10^9+ distinct contents): the join must
+    // plan WITHOUT a BroadcastExchange on the db side — with the old forced
+    // broadcast() hint this plan (and this test) was impossible
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // drop caches planned under the default threshold: a reused
+    // InMemoryRelation would re-print its stale BroadcastExchange operators
+    spark.catalog.clearCache()
+    try {
+      val db = ExactDedup.duplicates(
+        corpus.filter(!col("repo").isin("mirror", "mirror2")), cfg)
+        .select("size", "hash")
+      val q = IncrementalDedup.stream(spark, sf, "incr_dedup_plan_test", db, cfg)
+      q.processAllAvailable()
+      val plan = {
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        }
+        bos.toString("UTF-8")
+      }
+      q.stop()
+      assert(!plan.contains("BroadcastExchange") &&
+        !plan.contains("BroadcastHashJoin"),
+        s"db side must not broadcast when it measures large:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled stream-static join:\n$plan")
+      // and the classification is byte-identical to the batch twin
+      val streamed = spark.table("incr_dedup_plan_test")
+        .select("file_id", "size", "hash", "status")
+      val batch = IncrementalDedup.batchClassify(corpus, db, cfg)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.catalog.clearCache()
+    }
   }
 
   test("incremental streaming LSH candidates equal the batch bucket join") {
