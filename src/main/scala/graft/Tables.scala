@@ -42,9 +42,18 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** The files corpus: (file_id, repo, path, commit, lang, content, size).
-    * `size = length(content)` plays the role of `st_size`
-    * (/root/reference/src/sizetree.c:347-392). Deterministic per input row —
-    * stable across partitionings and parallelism levels.
+    * `size` plays the role of `st_size` and is derived from the table's
+    * n_chars METADATA column, never from the content bytes
+    * (/root/reference/src/sizetree.c:347-392 stats st_size without opening
+    * the file) — so Catalyst can COLUMN-PRUNE content away from any query
+    * that only touches sizes: stage 1 of the exact cascade reads zero
+    * content bytes, the literal Spark analogue of "files of unique size
+    * are never opened" (enforced by PlanShapeSpec). Values are identical to
+    * length(content) — the fixture contract n_chars = length(text) that the
+    * oracle's own fork/foil constructions already rely on
+    * ([[Oracle.corpus0Body]] uses substr(text, 1, n_chars - k)).
+    * Deterministic per input row — stable across partitionings and
+    * parallelism levels.
     */
   def corpus(spark: SparkSession, sfDir: String): DataFrame =
     corpusOf(documents(spark, sfDir))
@@ -56,7 +65,8 @@ object Tables {
   def corpusOf(d: DataFrame): DataFrame = {
 
     def variant(filterMod: Int, idOffset: Long, repo: String,
-                content: org.apache.spark.sql.Column): DataFrame =
+                content: org.apache.spark.sql.Column,
+                size: org.apache.spark.sql.Column): DataFrame =
       d.filter(col("doc_id") % filterMod === 0)
         .select(
           (col("doc_id") + idOffset).as("file_id"),
@@ -64,7 +74,8 @@ object Tables {
           concat(lit("doc_"), col("doc_id"), lit(".txt")).as("path"),
           lit("c0").as("commit"),
           col("lang"),
-          content.as("content"))
+          content.as("content"),
+          size.cast("long").as("size"))
 
     val base = d.select(
       col("doc_id").as("file_id"),
@@ -72,17 +83,21 @@ object Tables {
       concat(lit("doc_"), col("doc_id"), lit(".txt")).as("path"),
       lit("c0").as("commit"),
       col("lang"),
-      col("text").as("content"))
+      col("text").as("content"),
+      col("n_chars").cast("long").as("size"))
 
-    val mirror  = variant(3, 1000000L, "mirror", col("text"))
-    val mirror2 = variant(9, 2000000L, "mirror2", col("text"))
+    val mirror  = variant(3, 1000000L, "mirror", col("text"), col("n_chars"))
+    val mirror2 = variant(9, 2000000L, "mirror2", col("text"), col("n_chars"))
+    // fork truncates 8 chars; foil rewrites the last char (min size 1: an
+    // empty text still gains the 'X') — sizes mirror the content exprs
     val fork    = variant(5, 3000000L, "fork",
-      expr("substr(text, 1, cast(n_chars - 8 as int))"))
+      expr("substr(text, 1, cast(n_chars - 8 as int))"),
+      greatest(col("n_chars") - 8, lit(0)))
     val foil    = variant(7, 4000000L, "foil",
-      expr("substr(text, 1, cast(n_chars - 1 as int)) || 'X'"))
+      expr("substr(text, 1, cast(n_chars - 1 as int)) || 'X'"),
+      greatest(col("n_chars"), lit(1)))
 
     base.unionAll(mirror).unionAll(mirror2).unionAll(fork).unionAll(foil)
-      .withColumn("size", length(col("content")).cast("long"))
   }
 
   /** Corpus + a planted near-identical boilerplate family: `family` rows

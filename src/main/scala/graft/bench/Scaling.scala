@@ -105,19 +105,24 @@ object Scaling {
     * both core counts are reported verbatim in the JSON. */
   def scalingReport(sfDir: String, n: Int = 4, mult: Int = 8): String = {
     val sigMult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "256").toInt
-    // TWO interleaved sessions per leg, min over both, UNCONDITIONALLY:
+    // THREE interleaved sessions per leg, min over all, UNCONDITIONALLY:
     // a whole session can land in a contended co-tenant load window and
     // min-of-reps within it cannot recover; the min across interleaved
-    // sessions approximates each leg's uncontended time. Running it always
-    // (not just when the number looks bad) keeps the estimator symmetric —
-    // a retry only on low readings would bias the metric upward.
+    // sessions approximates each leg's uncontended time. Running a FIXED
+    // session count (not retrying only when the number looks bad) keeps the
+    // estimator symmetric — a conditional retry would bias the metric
+    // upward. Three sessions (up from two) because round-3/4 local runs
+    // showed single-session legs spreading 25-39 s under load bursts that
+    // two samples didn't always straddle.
     val (rows1, sec1a) = measure(n, sfDir, sigMult, "sig")
     val (rows2, sec2a) = measure(4 * n, sfDir, sigMult, "sig")
     require(rows1 == rows2)
     val (_, sec1b) = measure(n, sfDir, sigMult, "sig")
     val (_, sec2b) = measure(4 * n, sfDir, sigMult, "sig")
-    val sec1 = math.min(sec1a, sec1b)
-    val sec2 = math.min(sec2a, sec2b)
+    val (_, sec1c) = measure(n, sfDir, sigMult, "sig")
+    val (_, sec2c) = measure(4 * n, sfDir, sigMult, "sig")
+    val sec1 = Seq(sec1a, sec1b, sec1c).min
+    val sec2 = Seq(sec2a, sec2b, sec2c).min
     val eff = (sec1 / sec2) / 4.0
     val (lrows1, lsec1) = measure(n, sfDir, mult, "lsh")
     val (_, lsec2) = measure(4 * n, sfDir, mult, "lsh")
