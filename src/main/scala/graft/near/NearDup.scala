@@ -72,16 +72,31 @@ object NearDup {
   /** Near-dup input: one representative per exact-duplicate set (the exact
     * tier already resolved identical content — re-shingling every member of
     * a million-copy vendored file would be pure waste at scale), restricted
-    * to rows long enough to shingle. Only (size, hash, file_id) is shuffled
-    * to pick representatives; content stays put until the semi-join. */
+    * to rows long enough to shingle.
+    *
+    * Staged like the exact cascade (size prune before any content touch,
+    * /root/reference/src/sizetree.c:173-190): a row whose size is UNIQUE in
+    * the scan cannot have an exact duplicate, so it is its own
+    * representative with no content hash computed — only rows in multi-
+    * member size buckets get sha256'd. At corpus scale the unique-size
+    * fraction is hashed-for-free; only (size, hash, file_id) is shuffled to
+    * pick representatives, content stays put until the semi-join. */
   def representatives(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
     val scanned = ExactDedup.scanFilter(files, DedupConfig())
       .filter(col("size") >= cfg.shingleK)
-    val repIds = scanned
+    val multiSizes = scanned.groupBy("size").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("size")
+    // rows sharing a size: hash to find exact-dup groups, keep min id
+    val repIdsHashed = scanned
+      .join(multiSizes, Seq("size"), "left_semi")
       .select(col("size"), sha2(col("content"), 256).as("hash"), col("file_id"))
       .groupBy("size", "hash").agg(min("file_id").as("file_id"))
       .select("file_id")
-    scanned.join(repIds, Seq("file_id"), "left_semi")
+    // unique-size rows: reps by construction, zero content reads
+    val repIdsUnique = scanned
+      .join(multiSizes, Seq("size"), "left_anti")
+      .select("file_id")
+    scanned.join(repIdsHashed.union(repIdsUnique), Seq("file_id"), "left_semi")
   }
 
   /** Representatives with shingles + MinHash signature, computed map-side. */
@@ -287,14 +302,25 @@ object NearDup {
     graft.util.PersistScope.scoped { s =>
       val scanned = s.persist(ExactDedup.scanFilter(files, DedupConfig())
         .filter(col("size") >= cfg.shingleK))
+      // same staging as [[representatives]]: unique-size rows are their own
+      // representative with zero content hashed; only multi-size rows enter
+      // the (size, hash) grouping and the member-expansion join
+      val multiSizes = scanned.groupBy("size").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2).select("size")
       val narrow = s.persist(scanned
+        .join(multiSizes, Seq("size"), "left_semi")
         .select(col("file_id"), col("size"), sha2(col("content"), 256).as("hash")))
+      val uniqIds = scanned.join(multiSizes, Seq("size"), "left_anti")
+        .select("file_id")
       val repOf = narrow.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
       val reps = s.persist(scanned.join(
-        repOf.select(col("rep_id").as("file_id")), Seq("file_id"), "left_semi"))
+        repOf.select(col("rep_id").as("file_id")).union(uniqIds),
+        Seq("file_id"), "left_semi"))
       val repClusters = clustersOf(reps, cfg, s)
         .select(col("file_id").as("rep_id"), col("cluster_id"))
       narrow.join(repOf, Seq("size", "hash"))
+        .select(col("file_id"), col("rep_id"))
+        .union(uniqIds.select(col("file_id"), col("file_id").as("rep_id")))
         .join(repClusters, Seq("rep_id"))
         .select("file_id", "cluster_id")
     }
