@@ -84,19 +84,23 @@ object NearDup {
   def representatives(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame = {
     val scanned = ExactDedup.scanFilter(files, DedupConfig())
       .filter(col("size") >= cfg.shingleK)
-    val multiSizes = scanned.groupBy("size").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("size")
-    // rows sharing a size: hash to find exact-dup groups, keep min id
-    val repIdsHashed = scanned
-      .join(multiSizes, Seq("size"), "left_semi")
-      .select(col("size"), sha2(col("content"), 256).as("hash"), col("file_id"))
+    // conditional hash, NOT row routing: a size-count broadcast join guards
+    // sha256 behind `when(n >= 2)`, with the empty string as the unique-size
+    // sentinel group key (one row per unique size, so (size, '') is its own
+    // group). Plan shape stays the round-3 one — both join right sides are
+    // aggregates, so they broadcast; an earlier semi/anti/union routing
+    // formulation inherited the anti-join's full-scan size estimate, turned
+    // the rep semi-join into a content-bearing sort-merge shuffle, and
+    // regressed every reps consumer 3-15× (bench A/B, round 4).
+    val sizeN = scanned.groupBy("size").agg(count(lit(1)).as("__n"))
+    val repIds = scanned.join(sizeN, Seq("size"))
+      .select(col("size"),
+        when(col("__n") >= 2, sha2(col("content"), 256))
+          .otherwise(lit("")).as("hash"),
+        col("file_id"))
       .groupBy("size", "hash").agg(min("file_id").as("file_id"))
       .select("file_id")
-    // unique-size rows: reps by construction, zero content reads
-    val repIdsUnique = scanned
-      .join(multiSizes, Seq("size"), "left_anti")
-      .select("file_id")
-    scanned.join(repIdsHashed.union(repIdsUnique), Seq("file_id"), "left_semi")
+    scanned.join(repIds, Seq("file_id"), "left_semi")
   }
 
   /** Representatives with shingles + MinHash signature, computed map-side. */
@@ -302,25 +306,21 @@ object NearDup {
     graft.util.PersistScope.scoped { s =>
       val scanned = s.persist(ExactDedup.scanFilter(files, DedupConfig())
         .filter(col("size") >= cfg.shingleK))
-      // same staging as [[representatives]]: unique-size rows are their own
-      // representative with zero content hashed; only multi-size rows enter
-      // the (size, hash) grouping and the member-expansion join
-      val multiSizes = scanned.groupBy("size").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2).select("size")
-      val narrow = s.persist(scanned
-        .join(multiSizes, Seq("size"), "left_semi")
-        .select(col("file_id"), col("size"), sha2(col("content"), 256).as("hash")))
-      val uniqIds = scanned.join(multiSizes, Seq("size"), "left_anti")
-        .select("file_id")
+      // same conditional-hash staging as [[representatives]]: unique-size
+      // rows skip sha256 (sentinel '' group key keeps them their own group);
+      // plan shape identical to round 3 — aggregates broadcast, one narrow
+      // persisted relation feeds rep selection AND member expansion
+      val sizeN = scanned.groupBy("size").agg(count(lit(1)).as("__n"))
+      val narrow = s.persist(scanned.join(sizeN, Seq("size"))
+        .select(col("file_id"), col("size"),
+          when(col("__n") >= 2, sha2(col("content"), 256))
+            .otherwise(lit("")).as("hash")))
       val repOf = narrow.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
       val reps = s.persist(scanned.join(
-        repOf.select(col("rep_id").as("file_id")).union(uniqIds),
-        Seq("file_id"), "left_semi"))
+        repOf.select(col("rep_id").as("file_id")), Seq("file_id"), "left_semi"))
       val repClusters = clustersOf(reps, cfg, s)
         .select(col("file_id").as("rep_id"), col("cluster_id"))
       narrow.join(repOf, Seq("size", "hash"))
-        .select(col("file_id"), col("rep_id"))
-        .union(uniqIds.select(col("file_id"), col("file_id").as("rep_id")))
         .join(repClusters, Seq("rep_id"))
         .select("file_id", "cluster_id")
     }
