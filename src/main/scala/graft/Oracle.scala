@@ -195,6 +195,19 @@ object Oracle {
         |           WHERE repo <> 'mirror2') s
         |  ON s.file_id = d.file_id""".stripMargin),
 
+    // HL vs DUP split under a full snapshot: a verified member whose path
+    // equals the probe's path is a hardlink member (link identity model);
+    // snapshot == corpus, so every member re-verifies (no '---' branch)
+    "q_file_hl" -> c(
+      """SELECT d.file_id, d.repo, d.path,
+        |  CASE WHEN d.file_id = 0 THEN 'SELF'
+        |       WHEN d.path = p.ppath THEN 'HL'
+        |       ELSE 'DUP' END AS status
+        |FROM dupmembers d
+        |JOIN (SELECT size, hash, path AS ppath FROM dupmembers
+        |      WHERE file_id = 0) p
+        |  ON d.size = p.size AND d.hash = p.hash""".stripMargin),
+
     "q_cmp_two" -> c(
       """SELECT CAST(0 AS BIGINT) AS a, CAST(1000000 AS BIGINT) AS b,
         |  (SELECT content FROM corpus WHERE file_id = 0) =

@@ -541,6 +541,57 @@ object OraclePipeline {
         |FROM (SELECT doc_id, n, step,
         |             unnest(generate_series(0, 3)) AS i
         |      FROM m)
-        |WHERE i * step < n""".stripMargin
+        |WHERE i * step < n""".stripMargin,
+
+    // Y4M decode twin: the engine synthesizes a C420jpeg YUV4MPEG2 clip per
+    // doc (even width 4 + (id%4)*2, even height fitting one luma pixel per
+    // text CODEPOINT, frames = 2 + id%3; frame f's pixel p carries
+    // ((cp_p % 256) + 17f) % 256, black padding; chroma planes are per-doc
+    // constants) and decodes it with a real tag/marker/plane-walking
+    // parser; the oracle replays the generative formula. y_weighted =
+    // SUM (f*w*h + p + 1) * Y over frame f and 1-based pixel index —
+    // positionally sensitive across frames AND pixels
+    "q_mm_video" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n,
+        |    CAST(4 + (doc_id % 4) * 2 AS BIGINT) AS w,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS frames
+        |  FROM documents
+        |), dims AS (
+        |  SELECT *,
+        |    ((greatest(CAST(1 AS BIGINT), (n + w - 1) // w) + 1) // 2) * 2
+        |      AS h
+        |  FROM base
+        |), fi AS (
+        |  SELECT doc_id, text, n, w, h, frames,
+        |         unnest(generate_series(0, CAST(frames - 1 AS INT))) AS f
+        |  FROM dims
+        |), px AS (
+        |  SELECT doc_id, f, w, h, text,
+        |         unnest(generate_series(1, CAST(n AS INT))) AS i
+        |  FROM fi
+        |), yv AS (
+        |  SELECT doc_id, f, w, h, i,
+        |    ((ascii(substr(text, CAST(i AS INT), 1)) % 256) + 17 * f) % 256
+        |      AS y
+        |  FROM px
+        |), agg AS (
+        |  SELECT doc_id, sum(y) AS s, min(y) AS mn, max(y) AS mx,
+        |         sum((f * w * h + i) * y) AS yw
+        |  FROM yv GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.frames AS BIGINT) AS n_frames,
+        |  CAST(coalesce(a.s, 0) AS BIGINT) AS y_sum,
+        |  CAST(CASE WHEN d.w * d.h > d.n THEN 0
+        |            ELSE coalesce(a.mn, 0) END AS BIGINT) AS y_min,
+        |  CAST(coalesce(a.mx, 0) AS BIGINT) AS y_max,
+        |  CAST(coalesce(a.yw, 0) AS BIGINT) AS y_weighted,
+        |  CAST(d.frames * (d.w // 2) * (d.h // 2) *
+        |       (((d.doc_id * 5 + 7) % 256) + ((d.doc_id * 11 + 3) % 256))
+        |       AS BIGINT) AS uv_sum
+        |FROM dims d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
   )
 }

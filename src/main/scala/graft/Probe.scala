@@ -77,9 +77,11 @@ object Probe {
       spark.stop()
       return
     }
-    // fine-grained verified-pairs breakdown (SPARK_GRAFT_PROBE_VP=1)
+    // fine-grained verified-pairs breakdown (SPARK_GRAFT_PROBE_VP=1) —
+    // times the pipeline's OWN staged helpers (NearDup.lshCandidates /
+    // simCandidates / candidateShingles / verifyCandidates), so a change to
+    // the real pipeline is automatically what the probe measures
     if (sys.env.get("SPARK_GRAFT_PROBE_VP").contains("1")) {
-      import org.apache.spark.sql.functions._
       spark.catalog.clearCache()
       val scope = new graft.util.PersistScope
       val t0 = System.nanoTime()
@@ -89,44 +91,15 @@ object Probe {
       reps.count(); lap("reps materialized")
       val sigs = scope.persist(NearDup.signalFrame(reps, cfg))
       sigs.count(); lap("signals materialized")
-      val agreeOk = graft.functions.NearDupFunctions.sketchAgree(
-        col("sk_a"), col("sk_b")) >= cfg.sketchMin
-      val bandsP = scope.persist(NearDup.bandsOf(sigs, cfg, carryCols = Seq("sk")))
-      bandsP.count(); lap("bands materialized")
-      val lsh = graft.skew.Salting.bucketPairs(bandsP,
-        Seq("band_idx", "band_key"), "file_id", Seq("sk"),
-        cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
-        .filter(agreeOk).select("a", "b")
+      val lsh = NearDup.lshCandidates(sigs, cfg, scope)
       println(s"[probe.vp] lsh candidates rows=${lsh.count()}"); lap("lsh candidates")
-      val w = cfg.simBits / cfg.simChunks
-      val mask = (1L << w) - 1
-      val chunked = scope.persist(sigs
-        .select(col("file_id"), col("simhash"), col("sk"),
-          posexplode(expr(
-            s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
-        .select(col("file_id"), col("simhash"), col("sk"),
-          col("pos").as("chunk_idx"), col("col").as("chunk")))
-      val sim = graft.skew.Salting.bucketPairs(chunked, Seq("chunk_idx", "chunk"),
-        "file_id", Seq("simhash", "sk"),
-        cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
-        .filter(expr(s"bit_count(simhash_a ^ simhash_b) <= ${cfg.hammingMax}"))
-        .filter(agreeOk).select("a", "b")
+      val sim = NearDup.simCandidates(sigs, cfg, scope)
       println(s"[probe.vp] sim candidates rows=${sim.count()}"); lap("sim candidates")
       val plausible = scope.persist(lsh.union(sim).distinct())
       println(s"[probe.vp] plausible rows=${plausible.count()}"); lap("plausible union")
-      val candIds = plausible.select(col("a").as("file_id"))
-        .union(plausible.select(col("b").as("file_id"))).distinct()
-      val sh = scope.persist(reps.join(candIds, Seq("file_id"), "left_semi")
-        .select(col("file_id"), NearDup.shingleKeys("content", cfg.shingleK).as("shingles")))
+      val sh = scope.persist(NearDup.candidateShingles(reps, plausible, cfg))
       sh.count(); lap("cand shingles")
-      val ver = plausible
-        .join(sh.select(col("file_id").as("a"), col("shingles").as("sh_a")), Seq("a"))
-        .join(sh.select(col("file_id").as("b"), col("shingles").as("sh_b")), Seq("b"))
-        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("jaccard",
-          col("n_inter").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
-        .filter(col("jaccard") >= cfg.jaccardThreshold)
+      val ver = NearDup.verifyCandidates(plausible, sh, cfg)
       println(s"[probe.vp] verified rows=${ver.count()}"); lap("verify join")
       scope.release()
     }

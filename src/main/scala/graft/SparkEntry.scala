@@ -74,6 +74,14 @@ object SparkEntry {
       ExactDedup.fileStatuses(corpus,
         corpus.filter(col("repo") =!= "mirror2"), 0L, Some("mirror/"), cfg)
     }),
+    // J2 verbose HL classification: members sharing the probe's link
+    // identity (same path — the table model of st_ino == path_inode,
+    // reference src/report.c:260-264, tests/test.44-48) read HL, not DUP;
+    // full snapshot + no exclusion so the HL/DUP split is isolated
+    "q_file_hl" -> ((s, dir) => {
+      val corpus = Tables.corpus(s, dir)
+      ExactDedup.fileStatuses(corpus, corpus, 0L, None, cfg)
+    }),
     // A6: direct two-file compare
     "q_cmp_two" -> ((s, dir) =>
       ExactDedup.compareTwo(Tables.corpus(s, dir), 0L, 1000000L)),
@@ -249,7 +257,17 @@ object SparkEntry {
     // cannot fake
     "q_mm_bmp" -> ((s, dir) =>
       mm.Multimodal.decodeBmps(s,
-        mm.Multimodal.asBmpMedia(s, Tables.documents(s, dir))).toDF())
+        mm.Multimodal.asBmpMedia(s, Tables.documents(s, dir))).toDF()),
+    // the third REAL decode path — VIDEO: synthesized YUV4MPEG2 clips
+    // (param-tag header, FRAME markers, C420jpeg subsampled planes) parsed
+    // back by a genuine tag/marker/plane-walking reader
+    // (graft.mm.Multimodal.Y4m); the oracle recomputes the expected per-clip
+    // stats from the generative formula — exact integers, hash-comparable,
+    // with a frame+pixel position-weighted checksum that frame-order or
+    // plane-size mistakes cannot fake
+    "q_mm_video" -> ((s, dir) =>
+      mm.Multimodal.decodeY4ms(s,
+        mm.Multimodal.asY4mMedia(s, Tables.documents(s, dir))).toDF())
   )
 
   def oracleSql: Map[String, String] =

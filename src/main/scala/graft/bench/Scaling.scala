@@ -50,7 +50,8 @@ object Scaling {
     * excluded here: at this replica density it is pair-quadratic and
     * memory-bound, which measures the sandbox's RAM, not scaling). */
   def measure(cores: Int, sfDir: String, mult: Int,
-              stageOverride: String = null): (Long, Double) = {
+              stageOverride: String = null,
+              deadlineNanos: Long = Long.MaxValue): (Long, Double) = {
     val spark = session(cores)
     try {
       val cfg = graft.near.NearConfig(maxBucket = 64)
@@ -79,11 +80,18 @@ object Scaling {
       // average from co-tenants routinely exceeds 10 with zero local
       // processes); the min approximates the uncontended steady state a
       // dedicated cluster executor sees
+      // the rep loop respects the caller's deadline, but always completes
+      // ≥ 2 reps — rep 1 is pure JIT warmup, so a 1-rep minimum would bias
+      // the leg's min badly upward (round-4 lesson: unbounded reps blew the
+      // driver's timeout instead)
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
-      val times = (1 to reps).map { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rep = 0
+      while (rep < reps && (rep < 2 || System.nanoTime() < deadlineNanos)) {
         val t0 = System.nanoTime()
         job()
-        (System.nanoTime() - t0) / 1e9
+        times += (System.nanoTime() - t0) / 1e9
+        rep += 1
       }
       System.err.println(s"[scaling] cores=$cores stage=$stage reps=${times.map(t => f"$t%.2f").mkString(",")}")
       (rows, times.min)
@@ -103,37 +111,54 @@ object Scaling {
     * host contention (32 threads cannot find 32 free cores), not the
     * engine. 4 → 16 stays inside the free-core envelope at typical load;
     * both core counts are reported verbatim in the JSON. */
-  def scalingReport(sfDir: String, n: Int = 4, mult: Int = 8): String = {
+  def scalingReport(sfDir: String, n: Int = 4, mult: Int = 8,
+                    budgetSec: Double = 600.0): String = {
     val sigMult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "256").toInt
-    // THREE interleaved sessions per leg, min over all, UNCONDITIONALLY:
-    // a whole session can land in a contended co-tenant load window and
-    // min-of-reps within it cannot recover; the min across interleaved
-    // sessions approximates each leg's uncontended time. Running a FIXED
-    // session count (not retrying only when the number looks bad) keeps the
-    // estimator symmetric — a conditional retry would bias the metric
-    // upward. Three sessions (up from two) because round-3/4 local runs
-    // showed single-session legs spreading 25-39 s under load bursts that
-    // two samples didn't always straddle.
-    val (rows1, sec1a) = measure(n, sfDir, sigMult, "sig")
-    val (rows2, sec2a) = measure(4 * n, sfDir, sigMult, "sig")
-    require(rows1 == rows2)
-    val (_, sec1b) = measure(n, sfDir, sigMult, "sig")
-    val (_, sec2b) = measure(4 * n, sfDir, sigMult, "sig")
-    val (_, sec1c) = measure(n, sfDir, sigMult, "sig")
-    val (_, sec2c) = measure(4 * n, sfDir, sigMult, "sig")
-    val sec1 = Seq(sec1a, sec1b, sec1c).min
-    val sec2 = Seq(sec2a, sec2b, sec2c).min
+    // Up to THREE interleaved session pairs per leg, min over all: a whole
+    // session can land in a contended co-tenant load window and min-of-reps
+    // within it cannot recover; the min across interleaved sessions
+    // approximates each leg's uncontended time. Round 4 ran a FIXED three
+    // pairs × 7 reps unconditionally and blew the driver's timeout (rc=124,
+    // zero artifact) — so the loop now runs under a WALL-CLOCK BUDGET:
+    // pair 1 always runs (an artifact always carries a scaling number);
+    // further pairs start only while budget remains, and each session's rep
+    // loop stops at the deadline after ≥2 reps. The budget cut is
+    // load-independent (elapsed wall, not observed timings), so the
+    // estimator stays symmetric — no conditional-retry bias.
+    val t0 = System.nanoTime()
+    val deadline = t0 + (math.max(60.0, budgetSec) * 1e9).toLong
+    var rows1 = 0L
+    val secN = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sec4N = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var pairs = 0
+    while (pairs < 3 && (pairs == 0 || System.nanoTime() < deadline)) {
+      val (r1, s1) = measure(n, sfDir, sigMult, "sig", deadline)
+      val (r2, s2) = measure(4 * n, sfDir, sigMult, "sig", deadline)
+      require(r1 == r2)
+      rows1 = r1
+      secN += s1
+      sec4N += s2
+      pairs += 1
+    }
+    val sec1 = secN.min
+    val sec2 = sec4N.min
     val eff = (sec1 / sec2) / 4.0
-    val (lrows1, lsec1) = measure(n, sfDir, mult, "lsh")
-    val (_, lsec2) = measure(4 * n, sfDir, mult, "lsh")
-    val leff = (lsec1 / lsec2) / 4.0
+    // the LSH-join leg is cheap (mult=8) but still budget-guarded; when the
+    // sig stage consumed the budget it is skipped EXPLICITLY in the JSON
+    val lsh =
+      if (System.nanoTime() >= deadline) ""","lsh_join_skipped":true"""
+      else {
+        val (lrows1, lsec1) = measure(n, sfDir, mult, "lsh", deadline)
+        val (_, lsec2) = measure(4 * n, sfDir, mult, "lsh", deadline)
+        val leff = (lsec1 / lsec2) / 4.0
+        f""","lsh_join_rows":$lrows1,"lsh_join_sec_n":$lsec1%.3f,""" +
+          f""""lsh_join_sec_4n":$lsec2%.3f,"lsh_join_efficiency":$leff%.3f"""
+      }
     f""""scaling":{"stage":"minhash_signatures","rows":$rows1,""" +
-      f""""cores_n":$n,"cores_4n":${4 * n},""" +
+      f""""cores_n":$n,"cores_4n":${4 * n},"session_pairs":$pairs,""" +
       f""""sec_n":$sec1%.3f,"sec_4n":$sec2%.3f,""" +
-      f""""files_per_sec_n":${rows1 / sec1}%.1f,"files_per_sec_4n":${rows2 / sec2}%.1f,""" +
-      f""""efficiency_n_to_4n":$eff%.3f,""" +
-      f""""lsh_join_rows":$lrows1,"lsh_join_sec_n":$lsec1%.3f,""" +
-      f""""lsh_join_sec_4n":$lsec2%.3f,"lsh_join_efficiency":$leff%.3f}"""
+      f""""files_per_sec_n":${rows1 / sec1}%.1f,"files_per_sec_4n":${rows1 / sec2}%.1f,""" +
+      f""""efficiency_n_to_4n":$eff%.3f""" + lsh + "}"
   }
 
   def main(args: Array[String]): Unit = {

@@ -177,7 +177,13 @@ object Main {
           val id = idByPath(rp)
           if (id.isEmpty) System.err.println(s"no file at path $rp")
           id
-        case None => opts.get(s"id$suffix").map(_.toLong)
+        case None =>
+          val id = opts.get(s"id$suffix").map(_.toLong)
+          // file/hash with NEITHER flag: usage error to stderr (mirrors the
+          // cmp-two branch; the -a/-b suffixes print their own message)
+          if (id.isEmpty && suffix.isEmpty)
+            System.err.println(s"$op needs --id N or --path repo/relpath")
+          id
       }
 
     /** Stream a listing to stdout without collecting it on the driver

@@ -203,35 +203,52 @@ object ExactDedup {
         when(col("file_id") === probeFileId, "SELF").otherwise("DUP").as("status"))
   }
 
+  /** The probe file's (size, hash, path), resolved by two scalar jobs —
+    * `file_id = <k>` is an index lookup at Iceberg scale, never a rescan. */
+  private def probeInfo(scanned: DataFrame, probeFileId: Long,
+                        cfg: DedupConfig): Option[(Long, String, String)] =
+    scanned.filter(col("file_id") === probeFileId)
+      .select(col("size"), digest(col("content"), cfg).as("hash"), col("path"))
+      .collect().headOption
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
   /** Members of the probe's duplicate set evaluated via probe pushdown:
     * same-size rows only are hashed; empty when the probe is unique
     * (set size < 2) or absent. Columns: scanned's + `hash`. */
   private def probeSetMembers(scanned: DataFrame, probeFileId: Long,
-                              cfg: DedupConfig): DataFrame = {
-    val probeRows = scanned.filter(col("file_id") === probeFileId)
-      .select(col("size"), digest(col("content"), cfg).as("hash")).collect()
-    if (probeRows.isEmpty)
-      return scanned.filter(lit(false)).withColumn("hash", lit(""))
-    val (sz, h) = (probeRows(0).getLong(0), probeRows(0).getString(1))
-    val members = scanned.filter(col("size") === sz)
-      .withColumn("hash", digest(col("content"), cfg))
-      .filter(col("hash") === h)
-    // dup-set semantics: a singleton set is not a duplicate set
-    members
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("size", "hash")))
-      .filter(col("__n") >= 2).drop("__n")
-  }
+                              cfg: DedupConfig): DataFrame =
+    probeInfo(scanned, probeFileId, cfg) match {
+      case None => scanned.filter(lit(false)).withColumn("hash", lit(""))
+      case Some((sz, h, _)) =>
+        val members = scanned.filter(col("size") === sz)
+          .withColumn("hash", digest(col("content"), cfg))
+          .filter(col("hash") === h)
+        // dup-set semantics: a singleton set is not a duplicate set
+        members
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("size", "hash")))
+          .filter(col("__n") >= 2).drop("__n")
+    }
 
   /** `ls` — every scanned file with its DUPLICATE/UNIQUE status: the
     * reference's operation_ls sets BOTH print_uniques and print_duplicates
     * (/root/reference/src/report.c:485-542 — every file listed). */
   def fileStatusesAll(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    scanFilter(files, cfg)
-      .withColumn("hash", digest(col("content"), cfg))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("size", "hash")))
-      .withColumn("status", when(col("__n") >= 2, "DUPLICATE").otherwise("UNIQUE"))
+    // conditional-hash staging (same trick as NearDup.representatives):
+    // a size-count broadcast guards the digest behind when(n >= 2), with ''
+    // as the unique-size sentinel — a unique-size file is UNIQUE without
+    // its content ever being read (one row per unique size, so (size, '')
+    // is a singleton window group and classifies UNIQUE). At corpus scale
+    // this skips the content pass for the unique-size fraction, exactly
+    // like the cascade's stage 1 ("files of unique size are never opened").
+    val scanned = scanFilter(files, cfg)
+    val sizeN = scanned.groupBy("size").agg(count(lit(1)).as("__n"))
+    scanned.join(sizeN, Seq("size"))
+      .withColumn("hash",
+        when(col("__n") >= 2, digest(col("content"), cfg)).otherwise(lit("")))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("size", "hash")))
+      .withColumn("status", when(col("__m") >= 2, "DUPLICATE").otherwise("UNIQUE"))
       .select("file_id", "repo", "path", "size", "status")
   }
 
@@ -254,7 +271,8 @@ object ExactDedup {
   def fileStatusesIn(dups: DataFrame, snapshot: DataFrame, probeFileId: Long,
                      excludePrefix: Option[String] = None,
                      cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val probe = dups.filter(col("file_id") === probeFileId).select("size", "hash")
+    val probe = dups.filter(col("file_id") === probeFileId)
+      .select(col("size"), col("hash"), col("path").as("__probe_path"))
     val members = dups.join(broadcast(probe), Seq("size", "hash"))
     val current = snapshot
       .join(members.select("file_id"), Seq("file_id"), "left_semi")
@@ -266,6 +284,10 @@ object ExactDedup {
             concat(col("repo"), lit("/"), col("path")).startsWith(p))
             .getOrElse(lit(false)), "xxx")
           .when(col("now_hash").isNull, "---")
+          // HL = verified member sharing the probe's link identity (same
+          // path; reference st_ino == path_inode, src/report.c:260-264)
+          .when(col("now_hash") === col("hash") &&
+            col("path") === col("__probe_path"), "HL")
           .when(col("now_hash") === col("hash"), "DUP")
           .otherwise("---"))
       .select("file_id", "repo", "path", "status")
@@ -329,12 +351,19 @@ object ExactDedup {
 
   /** J2 verbose — `dupd file -v` member statuses evaluated against the
     * CURRENT snapshot (/root/reference/src/report.c:218-281): DUP = member
-    * still present and byte-identical now; `---` = gone from the snapshot;
-    * `xxx` = under the exclude prefix. The probed file's row is SELF. */
+    * still present and byte-identical now; `HL` = verified member sharing
+    * the probe's link identity — st_ino == path_inode in the reference
+    * (/root/reference/src/report.c:260-264, tests/test.44-48), same `path`
+    * in the table model (identity = (path, content), as [[hardlinkUnique]]);
+    * `---` = gone from the snapshot; `xxx` = under the exclude prefix. The
+    * probed file's row is SELF. */
   def fileStatuses(scanned: DataFrame, snapshot: DataFrame, probeFileId: Long,
                    excludePrefix: Option[String] = None,
                    cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val members = probeSetMembers(scanFilter(scanned, cfg), probeFileId, cfg)
+    val scanned0 = scanFilter(scanned, cfg)
+    val probePath = probeInfo(scanned0, probeFileId, cfg)
+      .map(_._3).getOrElse("")
+    val members = probeSetMembers(scanned0, probeFileId, cfg)
     // re-verify NOW: a member counts as DUP only if the snapshot still has
     // this file_id with identical content (hash recomputed from snapshot;
     // only claimed members are re-hashed — semi-join first)
@@ -348,6 +377,8 @@ object ExactDedup {
             concat(col("repo"), lit("/"), col("path")).startsWith(p))
             .getOrElse(lit(false)), "xxx")
           .when(col("now_hash").isNull, "---")
+          .when(col("now_hash") === col("hash") &&
+            col("path") === probePath, "HL")
           .when(col("now_hash") === col("hash"), "DUP")
           .otherwise("---"))
       .select("file_id", "repo", "path", "status")
@@ -378,13 +409,27 @@ object ExactDedup {
 
   /** `validate` analogue — every member of every emitted set must be
     * byte-identical (/root/reference/tests/validate.pl:29-53): returns sets
-    * whose members' contents diverge; empty result == valid. */
-  def validate(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
+    * whose members' contents diverge; empty result == valid.
+    *
+    * The divergence check counts distinct values of a SECOND, independent
+    * map-side digest (sha512 when the primary is any other algorithm) —
+    * detecting primary-digest collisions without raw content ever entering
+    * a shuffle (a million-member vendored set would otherwise move its full
+    * bytes through the countDistinct Exchange at the 100 TB target). The
+    * digest is projected at the scan, so only (file_id, 128-char digest)
+    * crosses the join/agg boundaries; a simultaneous collision in BOTH
+    * digests is the residual false-negative, cryptographically negligible. */
+  def validate(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val secondAlg = if (cfg.hashAlg == "sha512") "sha256" else "sha512"
+    val digested = files.select(col("file_id"),
+      digest(col("content"), cfg.copy(hashAlg = secondAlg)).as("__d2"))
     duplicates(files, cfg)
-      .join(files.select("file_id", "content"), Seq("file_id"))
+      .select("file_id", "size", "hash")
+      .join(digested, Seq("file_id"))
       .groupBy("size", "hash")
-      .agg(countDistinct(col("content")).as("n_distinct_contents"))
+      .agg(countDistinct(col("__d2")).as("n_distinct_contents"))
       .filter(col("n_distinct_contents") > 1)
+  }
 
   /** F8/J3 — the `--hardlink-is-unique` policy: rows sharing an identity
     * (same logical file reachable via several links) collapse to one physical
@@ -392,10 +437,20 @@ object ExactDedup {
     * table model identity = (path, content-hash); keep the lowest file_id. */
   def hardlinkUnique(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    scanFilter(files, cfg)
-      .withColumn("h", sha2(col("content"), 256))
+    // conditional-hash staging: a unique-size row cannot share content with
+    // any other row, so it is its own link identity with NO content read —
+    // the '' sentinel plus `size` in the identity key keeps two different
+    // unique-size rows at the same path distinct ((path, szA, '') vs
+    // (path, szB, '')); for multi-member size buckets same content implies
+    // same size, so (path, size, hash) ≡ the (path, hash) identity.
+    val scanned = scanFilter(files, cfg)
+    val sizeN = scanned.groupBy("size").agg(count(lit(1)).as("__n"))
+    scanned.join(sizeN, Seq("size"))
+      .withColumn("h",
+        when(col("__n") >= 2, sha2(col("content"), 256)).otherwise(lit("")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("path"), col("h")).orderBy(col("file_id"))))
+        Window.partitionBy(col("path"), col("size"), col("h"))
+          .orderBy(col("file_id"))))
       .filter(col("rn") === 1)
       .select("file_id", "repo", "path", "size")
   }

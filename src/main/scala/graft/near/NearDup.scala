@@ -227,27 +227,32 @@ object NearDup {
                       scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame =
     verifiedPairsFromSigs(scope.persist(signalFrame(reps, cfg)), reps, cfg, scope)
 
-  /** Stage 1+2 from a precomputed (possibly checkpoint-restored) signal
-    * frame; `reps` supplies content only for the plausible candidates'
-    * exact verification (semi-joined — never a full re-read). */
-  def verifiedPairsFromSigs(sigs: DataFrame, reps: DataFrame, cfg: NearConfig,
-                            scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
-    // STAGE 1 — candidates with the byte-sketch prefilter FUSED into the
-    // bucket joins: the sketch rides the band/chunk rows as a Salting
-    // payload, so hamming-collision candidates are discarded inside the
-    // join projection — never materialized, shuffled, or distinct'd as a
-    // standalone relation (realistic boilerplate at sf0.1: 555k raw
-    // candidates → ~2.3k plausible). The sketch test is pair-deterministic,
-    // so filtering before the union-distinct is result-identical to the
-    // oracle's filter-after-distinct; cutoff ≥5σ recall-safe
-    // (NearConfig.sketchMin).
-    val agreeOk = NearDupFunctions.sketchAgree(col("sk_a"), col("sk_b")) >= cfg.sketchMin
-    val lsh = graft.skew.Salting.bucketPairs(
+  /** The byte-sketch agreement prefilter over a pair frame carrying
+    * (sk_a, sk_b). Pair-deterministic, so filtering before the
+    * union-distinct is result-identical to filtering after; cutoff ≥5σ
+    * recall-safe (NearConfig.sketchMin). */
+  private[graft] def sketchAgreeOk(cfg: NearConfig): Column =
+    NearDupFunctions.sketchAgree(col("sk_a"), col("sk_b")) >= cfg.sketchMin
+
+  /** Stage 1a — LSH candidates with the byte-sketch prefilter FUSED into
+    * the bucket join: the sketch rides the band rows as a Salting payload,
+    * so hamming-collision candidates are discarded inside the join
+    * projection — never materialized, shuffled, or distinct'd as a
+    * standalone relation (realistic boilerplate at sf0.1: 555k raw
+    * candidates → ~2.3k plausible). Exposed staged so the Probe harness
+    * times the REAL pipeline stages instead of a drift-prone re-build. */
+  private[graft] def lshCandidates(sigs: DataFrame, cfg: NearConfig,
+                                   scope: graft.util.PersistScope): DataFrame =
+    graft.skew.Salting.bucketPairs(
       scope.persist(bandsOf(sigs, cfg, carryCols = Seq("sk"))),
       Seq("band_idx", "band_key"), "file_id", Seq("sk"),
       cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
-      .filter(agreeOk)
+      .filter(sketchAgreeOk(cfg))
       .select("a", "b")
+
+  /** Stage 1b — SimHash pigeonhole candidates, same fused sketch payload. */
+  private[graft] def simCandidates(sigs: DataFrame, cfg: NearConfig,
+                                   scope: graft.util.PersistScope): DataFrame = {
     val w = cfg.simBits / cfg.simChunks
     val mask = (1L << w) - 1
     val chunked = scope.persist(sigs
@@ -256,19 +261,27 @@ object NearDup {
           s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
       .select(col("file_id"), col("simhash"), col("sk"),
         col("pos").as("chunk_idx"), col("col").as("chunk")))
-    val sim = graft.skew.Salting.bucketPairs(chunked, Seq("chunk_idx", "chunk"),
+    graft.skew.Salting.bucketPairs(chunked, Seq("chunk_idx", "chunk"),
       "file_id", Seq("simhash", "sk"),
       cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
       .filter(expr(s"bit_count(simhash_a ^ simhash_b) <= ${cfg.hammingMax}"))
-      .filter(agreeOk)
+      .filter(sketchAgreeOk(cfg))
       .select("a", "b")
-    val plausible = scope.persist(lsh.union(sim).distinct())
-    // STAGE 2 — exact verification: shingle ARRAYS are computed only for
-    // members of plausible pairs (a tiny subset at scale), never every rep
+  }
+
+  /** Stage 2a — shingle arrays for members of plausible pairs ONLY (a tiny
+    * subset at scale; semi-join first, never a full content re-read). */
+  private[graft] def candidateShingles(reps: DataFrame, plausible: DataFrame,
+                                       cfg: NearConfig): DataFrame = {
     val candIds = plausible.select(col("a").as("file_id"))
       .union(plausible.select(col("b").as("file_id"))).distinct()
-    val sh = scope.persist(reps.join(candIds, Seq("file_id"), "left_semi")
-      .select(col("file_id"), shingleKeys("content", cfg.shingleK).as("shingles")))
+    reps.join(candIds, Seq("file_id"), "left_semi")
+      .select(col("file_id"), shingleKeys("content", cfg.shingleK).as("shingles"))
+  }
+
+  /** Stage 2b — exact shingle-Jaccard verification of plausible pairs. */
+  private[graft] def verifyCandidates(plausible: DataFrame, sh: DataFrame,
+                                      cfg: NearConfig): DataFrame =
     plausible
       .join(sh.select(col("file_id").as("a"), col("shingles").as("sh_a")), Seq("a"))
       .join(sh.select(col("file_id").as("b"), col("shingles").as("sh_b")), Seq("b"))
@@ -278,6 +291,19 @@ object NearDup {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select("a", "b", "jaccard")
+
+  /** Stage 1+2 from a precomputed (possibly checkpoint-restored) signal
+    * frame; `reps` supplies content only for the plausible candidates'
+    * exact verification (semi-joined — never a full re-read). Composed
+    * entirely from the staged helpers above — the Probe harness times the
+    * SAME constructions. */
+  def verifiedPairsFromSigs(sigs: DataFrame, reps: DataFrame, cfg: NearConfig,
+                            scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
+    val plausible = scope.persist(
+      lshCandidates(sigs, cfg, scope)
+        .union(simCandidates(sigs, cfg, scope)).distinct())
+    val sh = scope.persist(candidateShingles(reps, plausible, cfg))
+    verifyCandidates(plausible, sh, cfg)
   }
 
   /** Near-dup clusters over representatives: connected components of the

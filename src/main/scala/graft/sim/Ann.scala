@@ -247,8 +247,21 @@ object Ann {
       v.join(assign, Seq("vec_id"))
         .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/lists")
       cent.write.mode("overwrite").parquet(s"$dir/centroids")
+      // layout metadata: probes validate against this instead of silently
+      // returning different neighbors when the stored dir was written with
+      // a different nLists or centroid rule
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      Seq((IvfLayoutVersion, nLists))
+        .toDF("layout_version", "n_lists")
+        .write.mode("overwrite").parquet(s"$dir/meta")
     } finally scope.release()
   }
+
+  /** Version tag of the IVF layout contract: centroid rule (fixed-K
+    * hash-rank sample), list partitioning, column names. Bump on any change
+    * so stale stored layouts are rejected rather than silently probed. */
+  val IvfLayoutVersion = "ivf:v1:hashrank"
 
   /** The pruned inverted-list scan: a LITERAL cid predicate over the
     * partitioned layout, so the file source prunes non-probed lists before
@@ -268,6 +281,20 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val cent = spark.read.parquet(s"$dir/centroids")
+    // validate the stored layout before trusting it: a dir written under a
+    // different centroid rule or nLists must FAIL, not return different
+    // neighbors. Older dirs without meta are rejected too (re-write them).
+    val meta = try spark.read.parquet(s"$dir/meta").collect()
+      catch { case _: Exception => Array.empty[org.apache.spark.sql.Row] }
+    require(meta.nonEmpty, s"$dir has no IVF layout metadata — " +
+      "re-run writeIvfIndex (refusing to probe an unversioned layout)")
+    val (ver, nLists) = (meta(0).getAs[String]("layout_version"),
+      meta(0).getAs[Int]("n_lists"))
+    require(ver == IvfLayoutVersion,
+      s"$dir layout version '$ver' != expected '$IvfLayoutVersion'")
+    val nCent = cent.count()
+    require(nCent == nLists,
+      s"$dir stores $nCent centroids but meta says nLists=$nLists")
     val q = spark.read.parquet(s"$dir/lists")
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("nv").as("na"))

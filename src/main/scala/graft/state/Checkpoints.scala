@@ -28,6 +28,31 @@ import org.apache.spark.sql.functions._
   */
 object Checkpoints {
 
+  /** Code-version signal folded into every stage lineage: a digest of the
+    * BYTECODE of the classes that produce checkpointed bytes. Without it a
+    * pipeline code change would be invisible to the lineage and a resume
+    * would serve the OLD implementation's stored output (the correctness
+    * gate would then validate stale results and the bench would measure a
+    * parquet read instead of the pipeline). Hashing the compiled .class
+    * resources means any rebuild that changes these classes invalidates
+    * stored buckets automatically; an unchanged rebuild reuses them. */
+  private[state] lazy val codeVersion: String = {
+    val classes = Seq(
+      "graft.exact.ExactDedup$", "graft.near.NearDup$",
+      "graft.near.NearConfig", "graft.functions.NearDupFunctions$",
+      "graft.skew.Salting$", "graft.state.Checkpoints$")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    classes.foreach { n =>
+      val in = getClass.getResourceAsStream("/" + n.replace('.', '/') + ".class")
+      if (in != null) try {
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+      } finally in.close()
+    }
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
   /** One manifest/metrics row per completed (stage, bucket). */
   final case class StageMetric(
       stage: String, bucket: Int, rows: Long, bytes: Long,
@@ -181,7 +206,7 @@ object Checkpoints {
                              onlyBuckets: Option[Set[Int]] = None): DataFrame = {
     // every DedupConfig field participates: a resume under a different
     // config must never mix with stored buckets
-    val cfgLineage = s"exact:v1:minSize=${cfg.minSize}:prefixLen=${cfg.prefixLen}:" +
+    val cfgLineage = s"exact:v1:code=$codeVersion:minSize=${cfg.minSize}:prefixLen=${cfg.prefixLen}:" +
       s"hidden=${cfg.includeHidden}:alg=${cfg.hashAlg}:nBuckets=$nBuckets"
     // all fingerprints from one narrow aggregate pass; at cluster scale
     // this is one pass over Iceberg manifests, not data
@@ -206,7 +231,7 @@ object Checkpoints {
                                  root: String, nBuckets: Int,
                                  cfg: graft.near.NearConfig = graft.near.NearConfig(),
                                  onlyBuckets: Option[Set[Int]] = None): DataFrame = {
-    val cfgLineage = s"nearsig:v1:k=${cfg.shingleK}:perms=${cfg.numPerms}:" +
+    val cfgLineage = s"nearsig:v1:code=$codeVersion:k=${cfg.shingleK}:perms=${cfg.numPerms}:" +
       s"simBits=${cfg.simBits}:nBuckets=$nBuckets"
     val reps = graft.near.NearDup.representatives(files, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -235,7 +260,7 @@ object Checkpoints {
                                 cfg: graft.near.NearConfig = graft.near.NearConfig()): DataFrame = {
     // case-class toString carries every NearConfig field — any knob that
     // shapes candidates or verification participates in the lineage
-    val cfgLineage = s"nearpairs:v1:$cfg"
+    val cfgLineage = s"nearpairs:v1:code=$codeVersion:$cfg"
     val fps = inputFingerprintsBy(files, 1, lit(0))
     runStage(spark, root, "nearpairs", 1, b => s"$cfgLineage:fp(${fps(b)})") { _ =>
       graft.near.NearDup.verifiedPairs(files, cfg)

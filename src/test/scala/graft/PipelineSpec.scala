@@ -161,6 +161,66 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: Y4M synth/decode roundtrip through a real video parser") {
+    import Multimodal.Y4m
+    val sample = docs.limit(40).select("doc_id", "text").collect()
+    val decoded = Multimodal.decodeY4ms(spark,
+      Multimodal.asY4mMedia(spark, docs.limit(40))).collect()
+      .map(i => i.doc_id -> i).toMap
+    sample.foreach { r =>
+      val id = r.getLong(0)
+      val cps = r.getString(1).codePoints().toArray
+      val w = Y4m.widthOf(id); val h = Y4m.heightOf(id, cps.length.toLong)
+      val frames = Y4m.framesOf(id)
+      val got = decoded(id)
+      assert(got.width == w && got.height == h && got.n_frames == frames)
+      val ys = for (f <- 0 until frames; p <- cps.indices)
+        yield Y4m.yOf(cps(p), f).toLong
+      assert(got.y_sum == ys.sum)
+      // frame+pixel position-weighted checksum: wrong frame order, plane
+      // size, or pixel layout cannot match
+      assert(got.y_weighted == (for (f <- 0 until frames; p <- cps.indices)
+        yield (f.toLong * w * h + p + 1) * Y4m.yOf(cps(p), f)).sum)
+      val hasPad = w.toLong * h > cps.length
+      if (cps.isEmpty) assert(got.y_min == 0 && got.y_max == 0)
+      else {
+        assert(got.y_max == ys.max)
+        assert(got.y_min == (if (hasPad) 0L else ys.min))
+      }
+      assert(got.uv_sum ==
+        frames.toLong * (w / 2) * (h / 2) * (Y4m.uOf(id) + Y4m.vOf(id)))
+    }
+    // header tag order varies by doc parity: the parser must read TAGS,
+    // not fixed offsets (even ids emit "W.. H..", odd ids "H.. W..")
+    assert(Y4m.decode(2L, Y4m.synthesize(2L, "even order")).width == Y4m.widthOf(2L))
+    assert(Y4m.decode(3L, Y4m.synthesize(3L, "odd order")).width == Y4m.widthOf(3L))
+    // odd frames carry a FRAME parameter: markers are scanned to their
+    // newline, never assumed to be 6 bytes
+    val clip = Y4m.synthesize(1L, "frame param test")
+    assert(Y4m.framesOf(1L) == 3 && Y4m.decode(1L, clip).n_frames == 3)
+    // empty text: all-black planes, zeroed stats
+    val empty = Y4m.decode(4L, Y4m.synthesize(4L, ""))
+    assert(empty.y_sum == 0 && empty.y_min == 0 && empty.y_max == 0)
+    // a Cmono variant walks luma only (no chroma planes)
+    val mono = ("YUV4MPEG2 W4 H2 F25:1 Cmono\n" + "FRAME\n")
+      .getBytes("US-ASCII") ++ Array.fill(8)(7.toByte)
+    val mi = Y4m.decode(99L, mono)
+    assert(mi.n_frames == 1 && mi.y_sum == 56 && mi.uv_sum == 0)
+    // malformed containers are rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      Y4m.decode(0L, "MPEG4??? definitely not y4m".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Y4m.decode(1L, clip.dropRight(2)) // truncated chroma plane
+    }
+    intercept[IllegalArgumentException] {
+      val bad = clip.clone()
+      val at = bad.indexOfSlice("FRAME".getBytes("US-ASCII"))
+      bad(at) = 'G'.toByte // corrupt the first frame marker
+      Y4m.decode(1L, bad)
+    }
+  }
+
   test("streaming windowed agg matches the batch equivalent") {
     val q = EventsStream.stream(spark, sf, "events_agg_test")
     q.processAllAvailable()

@@ -100,6 +100,62 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** All ShuffleExchanges in df's executed plan (collected after a forced
+    * run so AQE finalizes); asserts none carries content/text. */
+  private def assertContentFreeExchanges(df: DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.collect()
+    val exs = collectPlan(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    exs.foreach { e =>
+      val shuffled = e.child.output.map(_.name).toSet
+      assert(!shuffled.contains("content") && !shuffled.contains("text"),
+        s"$what: content crosses a shuffle: ${shuffled.mkString(",")}")
+    }
+  }
+
+  test("validate never shuffles content (second-digest divergence check)") {
+    // countDistinct over a map-side sha512, NOT the raw content: a
+    // million-member vendored set must never move its bytes through the
+    // partial-distinct Exchange to answer a yes/no question
+    spark.catalog.clearCache()
+    assertContentFreeExchanges(
+      ExactDedup.validate(Tables.corpus(spark, sf), DedupConfig()), "validate")
+  }
+
+  test("ls / hardlink listings keep content out of every Exchange") {
+    // conditional-hash staging: the digest is computed map-side behind the
+    // size-count guard; only (size, hash, identity) columns shuffle into
+    // the window/dedup stages
+    spark.catalog.clearCache()
+    assertContentFreeExchanges(
+      ExactDedup.fileStatusesAll(Tables.corpus(spark, sf), DedupConfig()),
+      "fileStatusesAll")
+    assertContentFreeExchanges(
+      ExactDedup.hardlinkUnique(Tables.corpus(spark, sf), DedupConfig()),
+      "hardlinkUnique")
+  }
+
+  test("rep selection stays all-broadcast: no sort-merge join, no content shuffle") {
+    // the round-4 A/B lesson made CI-enforceable: an earlier semi/anti/union
+    // routing formulation inherited a full-scan size estimate, planned the
+    // rep semi-join as a content-bearing SortMergeJoin, and regressed every
+    // reps consumer 3-15x. The shipped conditional-hash staging keeps both
+    // join right sides aggregates (→ broadcast); this pins that shape.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    spark.catalog.clearCache()
+    val df = near.NearDup.representatives(Tables.corpus(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val smjs = collectPlan(plan) { case j: SortMergeJoinExec => j }
+    assert(smjs.isEmpty,
+      s"rep selection planned ${smjs.size} sort-merge join(s); expected all-broadcast")
+    val bhjs = collectPlan(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, "rep selection should join via broadcast")
+    assertContentFreeExchanges(df, "representatives")
+  }
+
   test("repo-root restriction (F5) prunes at the source, not post-scan") {
     // one-file-system roots compile to an isin predicate; on a partitioned
     // layout (repo = Iceberg partition col) this is partition pruning. On
