@@ -41,7 +41,7 @@ object Bench {
     // (q_all_clusters, alphabetically first, measured 4x its steady-state)
     try { near.NearDup.clusters(Tables.corpus(spark, sfDir)).count() }
     catch { case _: Throwable => () }
-    spark.catalog.clearCache()
+    util.Blocks.sweep(spark)
 
     // deterministic order; caches cleared between reps so each is measured
     // cold and the persisted near-dup intermediates don't leak. Per-query
@@ -51,17 +51,27 @@ object Bench {
     // between otherwise-identical runs, min-of-N is the same protocol the
     // Scaling main already uses.
     val reps0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — targeted A/B timing (local
+    // iteration only; the driver always times the full surface)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // a query that errors on ANY rep is reported ONLY in `errors` — never
     // with a valid-looking time in `queries` (and a failed rep's elapsed
     // time never updates the min)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
       var reps = math.max(1, reps0)
       var errored = false
       while (rep < reps && !errored) {
-        spark.catalog.clearCache()
+        // full sweep, not just the SQL cache: composite operators leave
+        // eager localCheckpoint blocks behind that catalog.clearCache()
+        // cannot see — across 57 queries x 3 reps they filled the storage
+        // pool and erratically degraded later queries 5-7x (round-5 find)
+        util.Blocks.sweep(spark)
         val t0 = System.nanoTime()
         var ok = true
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -83,7 +93,7 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val protocol = s"min-of-${sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")}" +
-      " per query (2 reps over 30s), caches cleared per rep"
+      " per query (2 reps over 30s), caches+checkpoint blocks swept per rep"
     val head = f""""metric":"total","value":$total%.3f,"unit":"sec","protocol":"$protocol","queries":$qs,"errors":$errs,"sf":"$sfDir""""
     // FIRST emission: the per-query numbers are on stdout NOW — a timeout
     // in any later stage can no longer erase the round's measurements
@@ -94,13 +104,13 @@ object Bench {
     // The raw corpus number is fixed-overhead-bound (~10 Spark stages over
     // 9k files); the ×64 expansion (572k files, input materialized like a
     // cluster's already-landed table) measures the amortized rate.
-    spark.catalog.clearCache()
+    util.Blocks.sweep(spark)
     val corpus = Tables.corpus(spark, sfDir)
     val nFiles = corpus.count()
     val tScan0 = System.nanoTime()
     exact.ExactDedup.duplicates(corpus).count()
     val scanSec = (System.nanoTime() - tScan0) / 1e9
-    spark.catalog.clearCache()
+    util.Blocks.sweep(spark)
     val big = bench.Scaling.expand(corpus.repartition(64), 64)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBig = big.count()

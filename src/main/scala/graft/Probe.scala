@@ -77,6 +77,46 @@ object Probe {
       spark.stop()
       return
     }
+    // session-interaction probe (SPARK_GRAFT_PROBE_VP=seq): does a prior
+    // clusters run poison later verified_pairs timings in the same session?
+    if (sys.env.get("SPARK_GRAFT_PROBE_VP").contains("seq")) {
+      def one(name: String)(f: => Long): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[probe.seq] $name%-20s ${(System.nanoTime() - t0) / 1e9}%7.1f s rows=$n")
+      }
+      one("clusters#1") { NearDup.clusters(corpus, cfg).count() }
+      one("pairs#1") { NearDup.verifiedPairs(corpus, cfg).count() }
+      one("pairs#2") { NearDup.verifiedPairs(corpus, cfg).count() }
+      one("clusters#2") { NearDup.clusters(corpus, cfg).count() }
+      one("pairs#3") { NearDup.verifiedPairs(corpus, cfg).count() }
+      spark.stop()
+      return
+    }
+    // repeated-clusters stage laps (SPARK_GRAFT_PROBE_VP=seq2): which stage
+    // of a SECOND clusters run in the same session degrades?
+    if (sys.env.get("SPARK_GRAFT_PROBE_VP").contains("seq2")) {
+      def stagedClusters(tag: String): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        def lap(n: String): Unit =
+          println(f"[probe.$tag] $n%-14s ${(System.nanoTime() - t0) / 1e9}%7.1f s cumulative")
+        val scope = new graft.util.PersistScope
+        val reps = scope.persist(NearDup.representatives(corpus, cfg))
+        reps.count(); lap("reps")
+        val edges = NearDup.verifiedPairsOf(reps, cfg, scope)
+          .select("a", "b").localCheckpoint(true)
+        lap("edges")
+        val labels = graft.cluster.ConnectedComponents.run(
+          reps.select("file_id"), edges)
+        labels.localCheckpoint(true).count(); lap("labels")
+        scope.release()
+      }
+      stagedClusters("c1"); stagedClusters("c2"); stagedClusters("c3")
+      spark.stop()
+      return
+    }
     // fine-grained verified-pairs breakdown (SPARK_GRAFT_PROBE_VP=1) —
     // times the pipeline's OWN staged helpers (NearDup.lshCandidates /
     // simCandidates / candidateShingles / verifyCandidates), so a change to

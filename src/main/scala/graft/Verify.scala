@@ -31,6 +31,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // sweep leaked checkpoint blocks between queries — 57 composite
+      // queries in one session otherwise accumulate dead storage blocks
+      // until execution memory starves (same fix as the bench rep loop)
+      util.Blocks.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -64,13 +64,26 @@ object ConnectedComponents {
                    maxIter: Int = 50): CcResult = {
     val spark = vertices.sparkSession
 
+    // Each round supersedes the previous round's checkpointed edge set; free
+    // the old blocks as soon as the new checkpoint has materialized (eager)
+    // or every O(E) iteration frame stays resident for the session — at
+    // ~10 rounds that is 10x the edge set squeezing execution memory
+    // (round-5 session-aging regression), and an OOM at the 100 TB target.
+    // The FINAL frame stays live: the returned labels plan reads it.
+    var retired: DataFrame = null
+    def ck(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      if (retired ne null) graft.util.Blocks.free(retired)
+      retired = out
+      out
+    }
+
     // canonical undirected edges: hi > lo, self-loops dropped, deduped
-    var e = edges
+    var e = ck(edges
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // size the iteration shuffles to the data: at a few thousand edges,
     // 32-way exchanges are pure scheduler overhead; at billions, the
@@ -79,7 +92,7 @@ object ConnectedComponents {
       spark.sparkContext.defaultParallelism,
       (e.count() / 1000000L).toInt + 1))
     if (nParts < spark.sparkContext.defaultParallelism)
-      e = e.repartition(nParts).localCheckpoint(true)
+      e = ck(e.repartition(nParts))
 
     // edge-set signature: (count, xor of per-edge hashes) — set equality up
     // to a 2^-64 collision, over the checkpointed blocks (cheap)
@@ -118,9 +131,8 @@ object ConnectedComponents {
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e))
-        .repartition(nParts, col("hi"))
-        .localCheckpoint(true)
+      e = ck(smallStar(largeStar(e))
+        .repartition(nParts, col("hi")))
       val s = sig(e)
       converged = s == prev
       prev = s

@@ -318,8 +318,10 @@ object NearDup {
   def clustersOf(reps: DataFrame, cfg: NearConfig,
                  scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
     val verts = reps.select("file_id")
+    // no checkpoint here: CC canonicalizes + eagerly checkpoints its input
+    // in one pass, so a checkpoint of the raw pairs would be a redundant
+    // full materialize+read of the edge set (and its blocks leaked)
     val edges = verifiedPairsOf(reps, cfg, scope).select("a", "b")
-      .localCheckpoint(true) // materialize once; CC iterates over it
     graft.cluster.ConnectedComponents.run(verts, edges)
   }
 
