@@ -33,6 +33,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // default is 30 MIN — longer than the whole run; dead broadcast and
+      // shuffle handles otherwise accumulate driver-side for the session
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -56,6 +59,13 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Heavy queries (first rep > 30 s) normally get 2 reps to bound wall —
+    // but on a shared host that makes the NOISIEST measurements the least
+    // smoothed (round-5: a 17 s query recorded 59 s when both its reps hit
+    // a co-tenant burst). A global stabilize budget funds one EXTRA rep for
+    // any capped query whose two times disagree by > 30%.
+    var stabilizeSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STABILIZE", "240").toDouble
     // a query that errors on ANY rep is reported ONLY in `errors` — never
     // with a valid-looking time in `queries` (and a failed rep's elapsed
     // time never updates the min)
@@ -63,6 +73,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
       var best = Double.MaxValue
+      var worst = 0.0
       var rep = 0
       var reps = math.max(1, reps0)
       var errored = false
@@ -82,7 +93,17 @@ object Bench {
         }
         val t = (System.nanoTime() - t0) / 1e9
         if (ok && t < best) best = t
+        if (ok && t > worst) worst = t
         if (ok && rep == 0 && t > 30.0) reps = math.min(reps, 2)
+        // disagreeing capped reps: buy one more from the stabilize budget
+        if (ok && rep == 1 && reps == 2 && worst > best * 1.3 &&
+            stabilizeSec > best) {
+          reps = 3
+          stabilizeSec -= best
+          System.err.println(f"[bench] $name reps disagree " +
+            f"($best%.1f/$worst%.1f s) — extra rep " +
+            f"(${stabilizeSec}%.0f s stabilize budget left)")
+        }
         rep += 1
       }
       if (errored) None else Some(name -> best)
@@ -93,7 +114,8 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val protocol = s"min-of-${sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")}" +
-      " per query (2 reps over 30s), caches+checkpoint blocks swept per rep"
+      " per query (2 reps over 30s, +1 if those disagree >30%), " +
+      "caches+checkpoint blocks swept + cleaner GC'd per rep"
     val head = f""""metric":"total","value":$total%.3f,"unit":"sec","protocol":"$protocol","queries":$qs,"errors":$errs,"sf":"$sfDir""""
     // FIRST emission: the per-query numbers are on stdout NOW — a timeout
     // in any later stage can no longer erase the round's measurements

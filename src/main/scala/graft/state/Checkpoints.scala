@@ -62,7 +62,14 @@ object Checkpoints {
 
   def readMetrics(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    try spark.read.parquet(metricsPath(root))
+    // existence pre-check: a cold root is the NORMAL first-run case, and
+    // letting the analyzer throw-and-catch logs a full FileNotFoundException
+    // stack to stderr (alarming noise in gate logs); the catch stays as the
+    // race/corruption backstop
+    val p = new org.apache.hadoop.fs.Path(metricsPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty[StageMetric].toDF()
+    else try spark.read.parquet(metricsPath(root))
     catch { case _: Exception =>
       Seq.empty[StageMetric].toDF()
     }

@@ -34,10 +34,25 @@ object Blocks {
     * including checkpoint blocks no DataFrame tracks. For harness use
     * between independent reps/queries (each rep rebuilds its plans from
     * scratch, so nothing live can reference the swept blocks). Blocking,
-    * so the next timed rep starts against an actually-empty store. */
+    * so the next timed rep starts against an actually-empty store.
+    *
+    * Also drives ContextCleaner: broadcast pieces and shuffle files are
+    * freed only after the driver GCs their handles (Spark's own lever for
+    * this, spark.cleaner.periodicGC.interval, defaults to 30 MIN), and a
+    * large heap may never organically full-GC inside a bench run — so
+    * hundreds of queries accumulate dead broadcast blocks and driver-side
+    * cleanup backlog, a per-stage tax that inflated late-session queries
+    * (0.1 s queries measured 1.1 s at position ~40 of the round-5 run).
+    * Throttled to once a minute so a rep loop doesn't GC-storm. */
+  private val lastGc = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def sweep(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    val now = System.nanoTime()
+    val prev = lastGc.get()
+    if (now - prev > 60L * 1000 * 1000 * 1000 && lastGc.compareAndSet(prev, now))
+      System.gc()
   }
 }

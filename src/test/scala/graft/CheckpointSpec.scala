@@ -178,4 +178,10 @@ class CheckpointSpec extends SparkSpec {
     assert(totalRows == ExactDedup.duplicates(corpus, cfg).count())
     assert(m.filter(col("wall_ms") < 0).count() == 0)
   }
+
+  test("cold root reads as empty metrics (no analyzer error path)") {
+    val root = freshRoot() // exists but has no _metrics child
+    assert(Checkpoints.readMetrics(spark, root).count() == 0)
+    assert(Checkpoints.readMetrics(spark, s"$root/never_created").count() == 0)
+  }
 }
