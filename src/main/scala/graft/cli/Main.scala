@@ -104,9 +104,9 @@ object Main {
     // physical instance BEFORE any dedup stage sees them
     def corpus: DataFrame =
       if (opts.contains("hardlink-is-unique"))
-        rawCorpus.join(
+        rawCorpus.join( // inner ≡ semi: one row per surviving file id
           ExactDedup.hardlinkUnique(rawCorpus, cfg).select("file_id"),
-          Seq("file_id"), "left_semi")
+          Seq("file_id"))
       else rawCorpus
 
     /** Open a stored scan db: meta version + staleness checks

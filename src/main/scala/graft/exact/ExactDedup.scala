@@ -80,10 +80,15 @@ object ExactDedup {
       .groupBy("size").agg(count(lit(1)).as("n_files"))
       .filter(col("n_files") >= 2)
 
-  /** Stage-1 survivors: semi-join against the (small) candidate-size set. */
+  /** Stage-1 survivors: joined against the (small) candidate-size set.
+    * INNER, not left-semi: the size set is an aggregate (unique on size)
+    * contributing no columns, so inner ≡ semi — and Catalyst pushes a
+    * left-semi through the corpus Union (PushdownLeftSemiAntiJoin),
+    * duplicating the aggregate's build into every union branch (the same
+    * 5x plan blowup representatives had, NearDup.scala:97-112). */
   def sizeSurvivors(files: DataFrame, cfg: DedupConfig): DataFrame =
     scanFilter(files, cfg)
-      .join(candidateSizes(files, cfg).select("size"), Seq("size"), "left_semi")
+      .join(candidateSizes(files, cfg).select("size"), Seq("size"))
 
   /** C1–C4: digest of a content column under the configured algorithm. */
   def digest(c: Column, cfg: DedupConfig): Column = cfg.hashAlg match {
@@ -115,7 +120,9 @@ object ExactDedup {
     val scanned = scanFilter(files, cfg)
     val sizes = scanned.groupBy("size").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("size")
-    scanned.join(sizes, Seq("size"), "left_semi")
+    // inner ≡ semi (sizes unique on size, no extra columns) and is not
+    // pushed through the corpus Union — see sizeSurvivors
+    scanned.join(sizes, Seq("size"))
       .select(col("file_id"), col("repo"), col("path"), col("commit"),
         col("size"), prefixHash(cfg).as("prefix_hash"),
         digest(col("content"), cfg).as("hash"))
@@ -275,7 +282,7 @@ object ExactDedup {
       .select(col("size"), col("hash"), col("path").as("__probe_path"))
     val members = dups.join(broadcast(probe), Seq("size", "hash"))
     val current = snapshot
-      .join(members.select("file_id"), Seq("file_id"), "left_semi")
+      .join(members.select("file_id"), Seq("file_id")) // inner ≡ semi: member ids unique
       .select(col("file_id"), digest(col("content"), cfg).as("now_hash"))
     members.join(current, Seq("file_id"), "left")
       .withColumn("status",
@@ -368,7 +375,7 @@ object ExactDedup {
     // this file_id with identical content (hash recomputed from snapshot;
     // only claimed members are re-hashed — semi-join first)
     val current = snapshot
-      .join(members.select("file_id"), Seq("file_id"), "left_semi")
+      .join(members.select("file_id"), Seq("file_id")) // inner ≡ semi: member ids unique
       .select(col("file_id"), digest(col("content"), cfg).as("now_hash"))
     members.join(current, Seq("file_id"), "left")
       .withColumn("status",
@@ -399,8 +406,8 @@ object ExactDedup {
     * (/root/reference/src/refresh.c:37-143). `snapshot` is the current file
     * table (possibly with rows deleted since the scan). */
   def refresh(scanned: DataFrame, snapshot: DataFrame): DataFrame = {
-    val surviving = scanned.join(
-      snapshot.select("file_id").distinct(), Seq("file_id"), "left_semi")
+    val surviving = scanned.join( // inner ≡ semi: right side is distinct
+      snapshot.select("file_id").distinct(), Seq("file_id"))
     val counts = surviving.groupBy("size", "hash")
       .agg(count(lit(1)).as("set_size")).filter(col("set_size") >= 2)
     surviving.drop("set_size").join(counts, Seq("size", "hash"))

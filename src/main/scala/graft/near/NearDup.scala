@@ -100,7 +100,16 @@ object NearDup {
         col("file_id"))
       .groupBy("size", "hash").agg(min("file_id").as("file_id"))
       .select("file_id")
-    scanned.join(repIds, Seq("file_id"), "left_semi")
+    // INNER join, not left-semi: repIds is unique on file_id (each row
+    // belongs to exactly one (size, hash) group, so the per-group min ids
+    // are distinct) and contributes no columns, making inner ≡ semi — but
+    // Catalyst pushes a LEFT-SEMI through the corpus Union
+    // (PushdownLeftSemiAntiJoin), duplicating the whole repIds build (two
+    // more corpus unions + the conditional sha256 + both aggregates) into
+    // EVERY union branch: 11 corpus instances / 55 scans in the plan, and
+    // a measured 4x on q_reps that every reps consumer inherited. Inner
+    // joins are not distributed over unions; this plan builds repIds once.
+    scanned.join(repIds, Seq("file_id"))
   }
 
   /** Representatives with shingles + MinHash signature, computed map-side. */
