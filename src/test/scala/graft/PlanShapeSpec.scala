@@ -156,6 +156,24 @@ class PlanShapeSpec extends SparkSpec {
     assertContentFreeExchanges(df, "representatives")
   }
 
+  test("rep selection builds its id set ONCE (no semi-through-union blowup)") {
+    // Catalyst distributes a LEFT-SEMI join over a Union child
+    // (PushdownLeftSemiAntiJoin), duplicating the whole build side into
+    // every corpus branch: representatives planned 11 corpus instances /
+    // 55 parquet scans (a measured 4x every reps consumer inherited) until
+    // the rep-id join became INNER (round 5). The minimal plan touches the
+    // corpus 3 times x 5 union branches = 15 scans; a couple of slack
+    // scans tolerated for future benign shape drift, the 55-scan blowup is
+    // what must never return.
+    spark.catalog.clearCache()
+    val df = near.NearDup.representatives(Tables.corpus(spark, sf))
+    df.collect()
+    val n = scans(df.queryExecution.executedPlan).size
+    assert(n <= 20, s"rep selection planned $n parquet scans; " +
+      "expected <= 20 (3 corpus passes x 5 branches) — a semi-join is " +
+      "being pushed through the corpus Union again")
+  }
+
   test("repo-root restriction (F5) prunes at the source, not post-scan") {
     // one-file-system roots compile to an isin predicate; on a partitioned
     // layout (repo = Iceberg partition col) this is partition pruning. On
