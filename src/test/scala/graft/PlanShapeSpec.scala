@@ -174,6 +174,33 @@ class PlanShapeSpec extends SparkSpec {
       "being pushed through the corpus Union again")
   }
 
+  test("exact cascade builds its size set ONCE (same union-pushdown guard)") {
+    spark.catalog.clearCache()
+    val df = ExactDedup.duplicates(Tables.corpus(spark, sf), DedupConfig())
+    df.collect()
+    // count each CACHED subtree once: the plan references the persisted
+    // narrow relation several times, but its build executes once — kids()
+    // pierces every reference, which would multiply-count the same scans
+    val seen = new java.util.IdentityHashMap[SparkPlan, Boolean]()
+    def count(p: SparkPlan): Int = {
+      val here = p match {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seen.containsKey(im.relation.cachedPlan)) 0
+          else { seen.put(im.relation.cachedPlan, true); count(im.relation.cachedPlan) }
+        case _: FileSourceScanExec => 1
+        case o => (o.children ++ o.subqueries).map(count).sum
+      }
+      p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => count(q.plan)
+        case _ => here
+      }
+    }
+    val n = count(df.queryExecution.executedPlan)
+    assert(n <= 15, s"exact cascade executes $n parquet scans (10 at round " +
+      "5); the stage-1 size filter is being pushed through the corpus Union")
+  }
+
   test("repo-root restriction (F5) prunes at the source, not post-scan") {
     // one-file-system roots compile to an isin predicate; on a partitioned
     // layout (repo = Iceberg partition col) this is partition pruning. On
