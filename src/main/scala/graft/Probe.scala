@@ -118,8 +118,8 @@ object Probe {
       return
     }
     // fine-grained verified-pairs breakdown (SPARK_GRAFT_PROBE_VP=1) —
-    // times the pipeline's OWN staged helpers (NearDup.lshCandidates /
-    // simCandidates / candidateShingles / verifyCandidates), so a change to
+    // times the pipeline's OWN staged helpers (NearDup.allCandidates /
+    // candidateShingles / verifyCandidates), so a change to
     // the real pipeline is automatically what the probe measures
     if (sys.env.get("SPARK_GRAFT_PROBE_VP").contains("1")) {
       spark.catalog.clearCache()
@@ -131,12 +131,9 @@ object Probe {
       reps.count(); lap("reps materialized")
       val sigs = scope.persist(NearDup.signalFrame(reps, cfg))
       sigs.count(); lap("signals materialized")
-      val lsh = NearDup.lshCandidates(sigs, cfg, scope)
-      println(s"[probe.vp] lsh candidates rows=${lsh.count()}"); lap("lsh candidates")
-      val sim = NearDup.simCandidates(sigs, cfg, scope)
-      println(s"[probe.vp] sim candidates rows=${sim.count()}"); lap("sim candidates")
-      val plausible = scope.persist(lsh.union(sim).distinct())
-      println(s"[probe.vp] plausible rows=${plausible.count()}"); lap("plausible union")
+      val plausible = scope.persist(
+        NearDup.allCandidates(sigs, cfg, scope).distinct())
+      println(s"[probe.vp] plausible rows=${plausible.count()}"); lap("candidates (fused)")
       val sh = scope.persist(NearDup.candidateShingles(reps, plausible, cfg))
       sh.count(); lap("cand shingles")
       val ver = NearDup.verifyCandidates(plausible, sh, cfg)

@@ -84,7 +84,13 @@ object Scaling {
       // ≥ 2 reps — rep 1 is pure JIT warmup, so a 1-rep minimum would bias
       // the leg's min badly upward (round-4 lesson: unbounded reps blew the
       // driver's timeout instead)
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
+      // default 4 reps (was 7): at mult=256 the N-core sig leg alone runs
+      // ~35 s/rep, so 7-rep legs made ONE session pair consume most of the
+      // scaling budget — the round-5 artifact recorded session_pairs=1 and
+      // lsh_join_skipped. 3 post-warmup samples per leg × up to 3
+      // interleaved session pairs gives the min estimator MORE independent
+      // samples than 6 samples from a single co-tenant-load window
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var rep = 0
       while (rep < reps && (rep < 2 || System.nanoTime() < deadlineNanos)) {
@@ -131,7 +137,14 @@ object Scaling {
     val secN = scala.collection.mutable.ArrayBuffer.empty[Double]
     val sec4N = scala.collection.mutable.ArrayBuffer.empty[Double]
     var pairs = 0
+    // wall cost of the slowest completed pair: a pair entered just before
+    // the deadline would still run two full sessions (>= 2 reps each, which
+    // at mult=256 is minutes) and overshoot the budget — re-exposing the
+    // driver-timeout risk the budget exists to fix. Later pairs start only
+    // with at least one pair's worth of headroom left (round-5 ADVICE).
+    var pairWallSec = 0.0
     def sigPair(): Unit = {
+      val p0 = System.nanoTime()
       val (r1, s1) = measure(n, sfDir, sigMult, "sig", deadline)
       val (r2, s2) = measure(4 * n, sfDir, sigMult, "sig", deadline)
       require(r1 == r2)
@@ -139,6 +152,7 @@ object Scaling {
       secN += s1
       sec4N += s2
       pairs += 1
+      pairWallSec = math.max(pairWallSec, (System.nanoTime() - p0) / 1e9)
     }
     sigPair() // pair 1 always runs — an artifact always carries a number
     // the LSH-join leg runs RIGHT AFTER pair 1 (it is cheap at mult=8):
@@ -153,7 +167,8 @@ object Scaling {
         f""","lsh_join_rows":$lrows1,"lsh_join_sec_n":$lsec1%.3f,""" +
           f""""lsh_join_sec_4n":$lsec2%.3f,"lsh_join_efficiency":$leff%.3f"""
       }
-    while (pairs < 3 && System.nanoTime() < deadline) sigPair()
+    while (pairs < 3 &&
+        (deadline - System.nanoTime()) / 1e9 > pairWallSec) sigPair()
     val sec1 = secN.min
     val sec2 = sec4N.min
     val eff = (sec1 / sec2) / 4.0

@@ -62,6 +62,7 @@ object ConnectedComponents {
     * refuses non-converged labels unless explicitly allowed. */
   def runWithStats(vertices: DataFrame, edges: DataFrame,
                    maxIter: Int = 50): CcResult = {
+    import org.apache.spark.sql.expressions.Window
     val spark = vertices.sparkSession
 
     // Each round supersedes the previous round's checkpointed edge set; free
@@ -71,15 +72,34 @@ object ConnectedComponents {
     // (round-5 session-aging regression), and an OOM at the 100 TB target.
     // The FINAL frame stays live: the returned labels plan reads it.
     var retired: DataFrame = null
-    def ck(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
+
+    // edge-set signature: (count, xor of per-edge hashes) — set equality up
+    // to a 2^-64 collision. The count doubles as the sizing input below, so
+    // no separate count() job runs.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    /** LAZY local checkpoint whose materializing action IS the signature
+      * aggregate: one Spark execution per round instead of two (the eager
+      * checkpoint ran a count-style job, then sig ran a second full
+      * analysis+job — at ~10 rounds that doubled the loop's driver-side
+      * cost, which the round-6 job accounting showed dominating the
+      * clusters wall). The previous round's blocks are freed only AFTER
+      * the new frame has materialized — a lazy checkpoint still reads its
+      * parent when it first computes. */
+    def ckSig(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val out = df.localCheckpoint(false)
+      val s = sig(out)
       if (retired ne null) graft.util.Blocks.free(retired)
       retired = out
-      out
+      (out, s)
     }
 
     // canonical undirected edges: hi > lo, self-loops dropped, deduped
-    var e = ck(edges
+    var (e, prev) = ckSig(edges
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
@@ -90,50 +110,57 @@ object ConnectedComponents {
     // caller's default parallelism is right. ~1M edges per partition.
     val nParts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism,
-      (e.count() / 1000000L).toInt + 1))
+      (prev._1 / 1000000L).toInt + 1))
     if (nParts < spark.sparkContext.defaultParallelism)
-      e = ck(e.repartition(nParts))
+      e = ckSig(e.repartition(nParts))._1 // sig unchanged: same edge set
 
-    // edge-set signature: (count, xor of per-edge hashes) — set equality up
-    // to a 2^-64 collision, over the checkpointed blocks (cheap)
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-
-    /** large-star: for each node u (over symmetrized edges), connect every
-      * neighbor v > u to m(u) = min(Γ(u) ∪ {u}). Output stays canonical:
-      * v > u ≥ m(u). */
-    def largeStar(in: DataFrame): DataFrame = {
+    /** One large-star + small-star round, fused to THREE exchanges (the
+      * groupBy-min + join-back formulation paid seven): each star's
+      * neighborhood minimum is a window aggregate over its grouping key —
+      * one shuffle instead of an aggregate shuffle plus a join shuffle —
+      * and only the final output is deduplicated (a round-local dedup of
+      * the large-star output is redundant: small-star's window min is
+      * duplicate-insensitive, and the terminal distinct already dedups).
+      *
+      * large-star: for each node u (over symmetrized edges), connect every
+      * neighbor v > u to m(u) = min(Γ(u) ∪ {u}) — output stays canonical
+      * (v > u ≥ m) and is exactly one row per input edge (of a canonical
+      * edge's two orientations, only u < v survives the filter), so
+      * skipping its dedup never inflates the round's row count.
+      *
+      * small-star: for each node hi (canonical edges point down, so Γ(hi)
+      * is its smaller neighbors), connect them AND hi itself to
+      * m = min(Γ(hi)): each row emits (lo → m) and (hi → m) via one
+      * explode; rows where lo = m collapse to a self-loop and are dropped
+      * by the hi ≠ lo filter — identical to the reference formulation's
+      * `lo =!= m` guard + unioned (hi, m) projection. */
+    def round(in: DataFrame): DataFrame = {
       val sym = in.select(col("hi").as("u"), col("lo").as("v"))
         .unionAll(in.select(col("lo").as("u"), col("hi").as("v")))
-      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      sym.join(m, "u")
+      val ls = sym
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
+      ls
+        .withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
+        .select(explode(array(
+          struct(col("lo").as("hi"), col("m").as("lo")),
+          struct(col("hi"), col("m").as("lo")))).as("e"))
+        .select(col("e.hi").as("hi"), col("e.lo").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        // the repartition IS the dedup exchange: hashpartitioning(hi, lo)
+        // satisfies the distinct aggregate's distribution, so no second
+        // exchange is planned, and the checkpointed round output lands in
+        // nParts right-sized blocks
+        .repartition(nParts, col("hi"), col("lo"))
         .distinct()
     }
 
-    /** small-star: for each node u (canonical edges point down, so Γ(u) here
-      * is u's smaller neighbors), connect them AND u to m(u) = min. */
-    def smallStar(in: DataFrame): DataFrame = {
-      val m = in.groupBy("hi").agg(min(col("lo")).as("m"))
-      in.join(m, "hi")
-        .filter(col("lo") =!= col("m"))
-        .select(col("lo").as("hi"), col("m").as("lo"))
-        .unionAll(m.select(col("hi"), col("m").as("lo")))
-        .distinct()
-    }
-
-    var prev = sig(e)
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
-      e = ck(smallStar(largeStar(e))
-        .repartition(nParts, col("hi")))
-      val s = sig(e)
+      val (e2, s) = ckSig(round(e))
+      e = e2
       converged = s == prev
       prev = s
       iter += 1

@@ -180,10 +180,21 @@ object ExactDedup {
 
   /** §2.7 set operations — `uniques`: files NOT in any duplicate set
     * (anti-join of the snapshot against confirmed dups,
-    * /root/reference/src/report.c:485-542). */
+    * /root/reference/src/report.c:485-542).
+    *
+    * Written as LEFT OUTER + null filter, not `left_anti`: member ids are
+    * unique in the flat duplicates relation (no fanout, so the two are
+    * row-identical), but Catalyst pushes a LEFT-ANTI through the corpus
+    * Union (PushdownLeftSemiAntiJoin), replicating the join into every
+    * branch — 5 probe joins and the plan fragmentation that came with them
+    * (round-6 job accounting: 59 executions for this one query, 4× the
+    * duplicates pipeline it wraps). Left-outer joins are not distributed
+    * over unions; this plan probes once. */
   def uniques(files: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
     scanFilter(files, cfg)
-      .join(duplicates(files, cfg).select("file_id"), Seq("file_id"), "left_anti")
+      .join(duplicates(files, cfg).select(col("file_id"), lit(true).as("__dup")),
+        Seq("file_id"), "left")
+      .filter(col("__dup").isNull)
       .select("file_id", "repo", "path", "size")
 
   /** `dups`: files that ARE members of a duplicate set (semi-join). */

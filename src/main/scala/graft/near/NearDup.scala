@@ -132,9 +132,14 @@ object NearDup {
         NearDupFunctions.minhashContent(col("content"), cfg.numPerms).as("sig"))
 
   /** LSH banding: signature → (band_idx, band_key) rows; band_key is the
-    * comma-joined r signature values (collision-free, no overflow games). */
+    * comma-joined r signature values (collision-free, no overflow games).
+    * Built on the FUSED signature path (minhash straight from content —
+    * value-identical to the shingle-array formulation, NearDupSpec): band
+    * consumers never need the shingle arrays, so materializing them per row
+    * was pure allocation (q_skew_pairs pays this on a 1000-member planted
+    * family). signatures() remains the shingle-bearing entry (q_shingle_count). */
   def bands(files: DataFrame, cfg: NearConfig = NearConfig()): DataFrame =
-    bandsOf(signatures(files, cfg), cfg)
+    bandsOf(fastSignatures(representatives(files, cfg), cfg), cfg)
 
   /** Banding from a precomputed signatures frame (lets composite pipelines
     * persist `signatures` once instead of re-deriving it per stage).
@@ -243,37 +248,48 @@ object NearDup {
   private[graft] def sketchAgreeOk(cfg: NearConfig): Column =
     NearDupFunctions.sketchAgree(col("sk_a"), col("sk_b")) >= cfg.sketchMin
 
-  /** Stage 1a — LSH candidates with the byte-sketch prefilter FUSED into
-    * the bucket join: the sketch rides the band rows as a Salting payload,
-    * so hamming-collision candidates are discarded inside the join
-    * projection — never materialized, shuffled, or distinct'd as a
-    * standalone relation (realistic boilerplate at sf0.1: 555k raw
-    * candidates → ~2.3k plausible). Exposed staged so the Probe harness
-    * times the REAL pipeline stages instead of a drift-prone re-build. */
-  private[graft] def lshCandidates(sigs: DataFrame, cfg: NearConfig,
-                                   scope: graft.util.PersistScope): DataFrame =
-    graft.skew.Salting.bucketPairs(
-      scope.persist(bandsOf(sigs, cfg, carryCols = Seq("sk"))),
-      Seq("band_idx", "band_key"), "file_id", Seq("sk"),
-      cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
-      .filter(sketchAgreeOk(cfg))
-      .select("a", "b")
-
-  /** Stage 1b — SimHash pigeonhole candidates, same fused sketch payload. */
-  private[graft] def simCandidates(sigs: DataFrame, cfg: NearConfig,
+  /** Stage 1 — LSH band + SimHash pigeonhole candidates from ONE fused
+    * bucket join. Both recall nets are "equi-join within buckets"; their
+    * bucket keys are disjoint by construction (band rows use idx 0..bands-1,
+    * chunk rows bands..bands+simChunks-1), so unioning the bucket rows and
+    * running a single [[graft.skew.Salting.bucketPairs]] yields exactly the
+    * union of the two joins' pair multisets — at HALF the join machinery
+    * (one bucket-size aggregate, one cold join, one salted hot join instead
+    * of two of each; the round-6 per-stage isolation bench attributed the
+    * candidate tier's cost to exactly this fixed machinery, not the pair
+    * volume). Per-net verification stays pair-local via the carried `knd`
+    * payload: chunk-bucket pairs take the exact Hamming filter, band-bucket
+    * pairs skip it; the byte-sketch prefilter applies to both — all
+    * evaluated inside the join projection (realistic boilerplate at sf0.1:
+    * 555k raw candidates → ~2.3k plausible, never materialized). */
+  private[graft] def allCandidates(sigs: DataFrame, cfg: NearConfig,
                                    scope: graft.util.PersistScope): DataFrame = {
+    // populate the (caller-persisted) signal cache BEFORE the band∪chunk
+    // union consumes it: the union's two branches land in ONE stage whose
+    // tasks race to materialize the same cache partitions, running the
+    // expensive minhash/sha256 upstream TWICE (round-6 task metrics: the
+    // union-shaped stages carried 2× the signal pass's executor time).
+    // One cheap job serializes the cache build; every later consumer reads.
+    sigs.count()
     val w = cfg.simBits / cfg.simChunks
     val mask = (1L << w) - 1
-    val chunked = scope.persist(sigs
+    val bandRows = bandsOf(sigs, cfg, carryCols = Seq("sk", "simhash"))
+      .select(col("file_id"), col("band_idx").as("bidx"),
+        col("band_key").as("bkey"), col("sk"), col("simhash"),
+        lit(0).as("knd"))
+    val chunkRows = sigs
       .select(col("file_id"), col("simhash"), col("sk"),
         posexplode(expr(
           s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
-      .select(col("file_id"), col("simhash"), col("sk"),
-        col("pos").as("chunk_idx"), col("col").as("chunk")))
-    graft.skew.Salting.bucketPairs(chunked, Seq("chunk_idx", "chunk"),
-      "file_id", Seq("simhash", "sk"),
+      .select(col("file_id"), (col("pos").cast("long") + cfg.bands).as("bidx"),
+        col("col").cast("string").as("bkey"), col("sk"), col("simhash"),
+        lit(1).as("knd"))
+    graft.skew.Salting.bucketPairs(
+      scope.persist(bandRows.unionAll(chunkRows)),
+      Seq("bidx", "bkey"), "file_id", Seq("sk", "simhash", "knd"),
       cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
-      .filter(expr(s"bit_count(simhash_a ^ simhash_b) <= ${cfg.hammingMax}"))
+      .filter(col("knd_a") === 0 ||
+        expr(s"bit_count(simhash_a ^ simhash_b) <= ${cfg.hammingMax}"))
       .filter(sketchAgreeOk(cfg))
       .select("a", "b")
   }
@@ -308,9 +324,7 @@ object NearDup {
     * SAME constructions. */
   def verifiedPairsFromSigs(sigs: DataFrame, reps: DataFrame, cfg: NearConfig,
                             scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
-    val plausible = scope.persist(
-      lshCandidates(sigs, cfg, scope)
-        .union(simCandidates(sigs, cfg, scope)).distinct())
+    val plausible = scope.persist(allCandidates(sigs, cfg, scope).distinct())
     val sh = scope.persist(candidateShingles(reps, plausible, cfg))
     verifyCandidates(plausible, sh, cfg)
   }
@@ -327,11 +341,22 @@ object NearDup {
   def clustersOf(reps: DataFrame, cfg: NearConfig,
                  scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
     val verts = reps.select("file_id")
-    // no checkpoint here: CC canonicalizes + eagerly checkpoints its input
-    // in one pass, so a checkpoint of the raw pairs would be a redundant
-    // full materialize+read of the edge set (and its blocks leaked)
-    val edges = verifiedPairsOf(reps, cfg, scope).select("a", "b")
-    graft.cluster.ConnectedComponents.run(verts, edges)
+    // The pair pipeline runs under its OWN scope, released BEFORE the CC
+    // loop: every CC round is a separate query execution paying plan
+    // analysis + CacheManager lookup against whatever is cached, and with
+    // the pipeline's deep-plan caches live that driver-side tax dominated
+    // the clusters wall (round-6 job accounting: 60 executions, wall 2.5×
+    // the in-job time). The price is one explicit checkpoint of the pair
+    // set — the tier's smallest relation — whose blocks are freed as soon
+    // as CC has canonicalized it. `scope` still owns the caller's frames
+    // (reps feeds the final label join after CC).
+    val inner = new graft.util.PersistScope
+    val edges = verifiedPairsOf(reps, cfg, inner)
+      .select("a", "b").localCheckpoint(true)
+    inner.release()
+    val labels = graft.cluster.ConnectedComponents.run(verts, edges)
+    graft.util.Blocks.free(edges)
+    labels
   }
 
   /** Expand rep-level clusters back to every file: exact-dup members inherit
@@ -355,7 +380,20 @@ object NearDup {
       val repOf = narrow.groupBy("size", "hash").agg(min("file_id").as("rep_id"))
       val reps = s.persist(scanned.join(
         repOf.select(col("rep_id").as("file_id")), Seq("file_id"), "left_semi"))
-      val repClusters = clustersOf(reps, cfg, s)
+      // clustersOf inlined so `scanned` can be released before the CC loop:
+      // its two consumers (narrow, reps) are both materialized by the edge
+      // build, and every cache still live during CC taxes each round's
+      // plan analysis (see clustersOf) — only narrow and reps are needed
+      // after this point (expansion join + label join).
+      val verts = reps.select("file_id")
+      val inner = new graft.util.PersistScope
+      val edges = verifiedPairsOf(reps, cfg, inner)
+        .select("a", "b").localCheckpoint(true)
+      inner.release()
+      scanned.unpersist(blocking = false)
+      val labels = graft.cluster.ConnectedComponents.run(verts, edges)
+      graft.util.Blocks.free(edges)
+      val repClusters = labels
         .select(col("file_id").as("rep_id"), col("cluster_id"))
       narrow.join(repOf, Seq("size", "hash"))
         .join(repClusters, Seq("rep_id"))

@@ -37,14 +37,28 @@ object Checkpoints {
     * resources means any rebuild that changes these classes invalidates
     * stored buckets automatically; an unchanged rebuild reuses them. */
   private[state] lazy val codeVersion: String = {
+    // the facades AND the expression classes that actually compute stage
+    // output bytes: a semantic change to e.g. MinHashSignature.compute
+    // leaves the NearDupFunctions facade bytecode unchanged, so hashing
+    // facades alone would serve stale checkpointed buckets — the exact
+    // failure this guard exists to prevent (round-5 ADVICE item 1)
     val classes = Seq(
       "graft.exact.ExactDedup$", "graft.near.NearDup$",
       "graft.near.NearConfig", "graft.functions.NearDupFunctions$",
+      "graft.functions.MinHashSignature$", "graft.functions.MinHashContent$",
+      "graft.functions.ShingleKeys$", "graft.functions.SimHash$",
+      "graft.functions.SketchBytes$", "graft.functions.SketchAgree$",
+      "graft.functions.HashConstants$",
       "graft.skew.Salting$", "graft.state.Checkpoints$")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     classes.foreach { n =>
       val in = getClass.getResourceAsStream("/" + n.replace('.', '/') + ".class")
-      if (in != null) try {
+      // a silently-skipped missing resource (e.g. after a rename) would
+      // quietly weaken the guard — fail loudly instead
+      if (in == null) throw new IllegalStateException(
+        s"codeVersion: class resource for $n not found — " +
+          "update the hashed-class list in Checkpoints.codeVersion")
+      try {
         val buf = new Array[Byte](8192)
         var r = in.read(buf)
         while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
