@@ -221,32 +221,30 @@ object ExactDedup {
         when(col("file_id") === probeFileId, "SELF").otherwise("DUP").as("status"))
   }
 
-  /** The probe file's (size, hash, path), resolved by two scalar jobs —
-    * `file_id = <k>` is an index lookup at Iceberg scale, never a rescan. */
-  private def probeInfo(scanned: DataFrame, probeFileId: Long,
-                        cfg: DedupConfig): Option[(Long, String, String)] =
-    scanned.filter(col("file_id") === probeFileId)
-      .select(col("size"), digest(col("content"), cfg).as("hash"), col("path"))
-      .collect().headOption
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-
-  /** Members of the probe's duplicate set evaluated via probe pushdown:
-    * same-size rows only are hashed; empty when the probe is unique
-    * (set size < 2) or absent. Columns: scanned's + `hash`. */
+  /** Members of the probe's duplicate set evaluated via probe pushdown as
+    * ONE plan: the probe's (size, digest, path) is a 1-row broadcast built
+    * from the `file_id = <k>` index lookup — no driver collect round-trip
+    * (the former two scalar jobs cost a full probe-resolution scan per
+    * query) — and only same-size rows are hashed; empty when the probe is
+    * unique (set size < 2) or absent. `content` is projected away before
+    * the window shuffle: only the dup-set members' identity columns cross
+    * the Exchange. Columns: (file_id, repo, path, size, hash,
+    * __probe_path). */
   private def probeSetMembers(scanned: DataFrame, probeFileId: Long,
-                              cfg: DedupConfig): DataFrame =
-    probeInfo(scanned, probeFileId, cfg) match {
-      case None => scanned.filter(lit(false)).withColumn("hash", lit(""))
-      case Some((sz, h, _)) =>
-        val members = scanned.filter(col("size") === sz)
-          .withColumn("hash", digest(col("content"), cfg))
-          .filter(col("hash") === h)
-        // dup-set semantics: a singleton set is not a duplicate set
-        members
-          .withColumn("__n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("size", "hash")))
-          .filter(col("__n") >= 2).drop("__n")
-    }
+                              cfg: DedupConfig): DataFrame = {
+    val probe = scanned.filter(col("file_id") === probeFileId)
+      .select(col("size"), digest(col("content"), cfg).as("__probe_hash"),
+        col("path").as("__probe_path"))
+    scanned.join(broadcast(probe), Seq("size"))
+      .withColumn("hash", digest(col("content"), cfg))
+      .filter(col("hash") === col("__probe_hash"))
+      .select(col("file_id"), col("repo"), col("path"), col("size"),
+        col("hash"), col("__probe_path"))
+      // dup-set semantics: a singleton set is not a duplicate set
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("size", "hash")))
+      .filter(col("__n") >= 2).drop("__n")
+  }
 
   /** `ls` — every scanned file with its DUPLICATE/UNIQUE status: the
     * reference's operation_ls sets BOTH print_uniques and print_duplicates
@@ -379,8 +377,8 @@ object ExactDedup {
                    excludePrefix: Option[String] = None,
                    cfg: DedupConfig = DedupConfig()): DataFrame = {
     val scanned0 = scanFilter(scanned, cfg)
-    val probePath = probeInfo(scanned0, probeFileId, cfg)
-      .map(_._3).getOrElse("")
+    // members carry the probe's path as a column (__probe_path), so the HL
+    // link-identity test needs no driver-side probe resolution
     val members = probeSetMembers(scanned0, probeFileId, cfg)
     // re-verify NOW: a member counts as DUP only if the snapshot still has
     // this file_id with identical content (hash recomputed from snapshot;
@@ -396,7 +394,7 @@ object ExactDedup {
             .getOrElse(lit(false)), "xxx")
           .when(col("now_hash").isNull, "---")
           .when(col("now_hash") === col("hash") &&
-            col("path") === probePath, "HL")
+            col("path") === col("__probe_path"), "HL")
           .when(col("now_hash") === col("hash"), "DUP")
           .otherwise("---"))
       .select("file_id", "repo", "path", "status")

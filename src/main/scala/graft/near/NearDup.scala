@@ -201,11 +201,16 @@ object NearDup {
         posexplode(expr(
           s"transform(sequence(0, ${cfg.simChunks - 1}), c -> shiftright(simhash, c * $w) & $mask)")))
       .select(col("file_id"), col("simhash"), col("pos").as("chunk_idx"), col("col").as("chunk")))
+    // Hamming filter BEFORE the dedup: it is row-local and deterministic on
+    // the (simhash_a, simhash_b) payload riding each pair, so filter-then-
+    // distinct is result-identical to distinct-then-filter — and it cuts
+    // the distinct's shuffle input from every chunk-collision pair (~10×
+    // the survivors on the sf0.1 corpus) to the Hamming-close set.
     graft.skew.Salting.bucketPairs(chunked, Seq("chunk_idx", "chunk"), "file_id",
       Seq("simhash"), cfg.maxBucket, cfg.hotBucket, cfg.salts, scope)
-      .distinct()
       .filter(expr(s"bit_count(simhash_a ^ simhash_b) <= ${cfg.hammingMax}"))
       .select("a", "b")
+      .distinct()
   }
 
   /** Candidate union (LSH ∪ SimHash) with exact shingle-Jaccard verification.
@@ -298,8 +303,12 @@ object NearDup {
     * subset at scale; semi-join first, never a full content re-read). */
   private[graft] def candidateShingles(reps: DataFrame, plausible: DataFrame,
                                        cfg: NearConfig): DataFrame = {
+    // no .distinct() on the id set: LEFT-SEMI join semantics dedup the
+    // build side for free, so the exchange+aggregate the distinct planned
+    // was pure overhead (reps is an InMemoryRelation here, so the semi is
+    // not pushed through any Union)
     val candIds = plausible.select(col("a").as("file_id"))
-      .union(plausible.select(col("b").as("file_id"))).distinct()
+      .union(plausible.select(col("b").as("file_id")))
     reps.join(candIds, Seq("file_id"), "left_semi")
       .select(col("file_id"), shingleKeys("content", cfg.shingleK).as("shingles"))
   }
@@ -326,6 +335,10 @@ object NearDup {
                             scope: graft.util.PersistScope = graft.util.PersistScope.unmanaged): DataFrame = {
     val plausible = scope.persist(allCandidates(sigs, cfg, scope).distinct())
     val sh = scope.persist(candidateShingles(reps, plausible, cfg))
+    // populate the shingle cache before the two verify-join broadcast
+    // builds (a-side and b-side) can race to materialize it concurrently —
+    // same discipline as the signal cache in allCandidates
+    sh.count()
     verifyCandidates(plausible, sh, cfg)
   }
 
