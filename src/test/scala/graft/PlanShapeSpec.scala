@@ -201,6 +201,36 @@ class PlanShapeSpec extends SparkSpec {
       "5); the stage-1 size filter is being pushed through the corpus Union")
   }
 
+  test("uniques probes the dup-id set ONCE (no anti-through-union blowup)") {
+    // round-6 find: PushdownLeftSemiAntiJoin distributes LEFT-ANTI over the
+    // 5-branch corpus Union exactly like LEFT-SEMI — uniques planned 59
+    // executions (4x the duplicates pipeline it wraps) until the anti
+    // became LEFT OUTER + IS NULL, which is not distributed. This pins the
+    // executed scan count the same way the cascade test above does.
+    spark.catalog.clearCache()
+    val df = ExactDedup.uniques(Tables.corpus(spark, sf), DedupConfig())
+    df.collect()
+    val seen = new java.util.IdentityHashMap[SparkPlan, Boolean]()
+    def count(p: SparkPlan): Int = {
+      val here = p match {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seen.containsKey(im.relation.cachedPlan)) 0
+          else { seen.put(im.relation.cachedPlan, true); count(im.relation.cachedPlan) }
+        case _: FileSourceScanExec => 1
+        case o => (o.children ++ o.subqueries).map(count).sum
+      }
+      p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => count(q.plan)
+        case _ => here
+      }
+    }
+    val n = count(df.queryExecution.executedPlan)
+    assert(n <= 20, s"uniques executes $n parquet scans; expected <= 20 " +
+      "(the cascade's ~10 + one probe pass) — the dup-id anti/semi join is " +
+      "being pushed through the corpus Union again")
+  }
+
   test("repo-root restriction (F5) prunes at the source, not post-scan") {
     // one-file-system roots compile to an isin predicate; on a partitioned
     // layout (repo = Iceberg partition col) this is partition pruning. On
