@@ -84,13 +84,15 @@ object Scaling {
       // ≥ 2 reps — rep 1 is pure JIT warmup, so a 1-rep minimum would bias
       // the leg's min badly upward (round-4 lesson: unbounded reps blew the
       // driver's timeout instead)
-      // default 4 reps (was 7): at mult=256 the N-core sig leg alone runs
+      // default 3 reps (was 7): at mult=256 the N-core sig leg alone runs
       // ~35 s/rep, so 7-rep legs made ONE session pair consume most of the
       // scaling budget — the round-5 artifact recorded session_pairs=1 and
-      // lsh_join_skipped. 3 post-warmup samples per leg × up to 3
-      // interleaved session pairs gives the min estimator MORE independent
-      // samples than 6 samples from a single co-tenant-load window
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+      // lsh_join_skipped. Within one session the reps share one co-tenant
+      // load window (minutes wide), so extra same-session reps add little;
+      // what rescues the min estimator under sustained load is MORE
+      // SESSION PAIRS (independent windows) — shorter legs buy more pairs
+      // from the same wall-clock budget (cap raised to 4 below)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var rep = 0
       while (rep < reps && (rep < 2 || System.nanoTime() < deadlineNanos)) {
@@ -120,7 +122,7 @@ object Scaling {
   def scalingReport(sfDir: String, n: Int = 4, mult: Int = 8,
                     budgetSec: Double = 600.0): String = {
     val sigMult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "256").toInt
-    // Up to THREE interleaved session pairs per leg, min over all: a whole
+    // Up to FOUR interleaved session pairs per leg, min over all: a whole
     // session can land in a contended co-tenant load window and min-of-reps
     // within it cannot recover; the min across interleaved sessions
     // approximates each leg's uncontended time. Round 4 ran a FIXED three
@@ -167,7 +169,7 @@ object Scaling {
         f""","lsh_join_rows":$lrows1,"lsh_join_sec_n":$lsec1%.3f,""" +
           f""""lsh_join_sec_4n":$lsec2%.3f,"lsh_join_efficiency":$leff%.3f"""
       }
-    while (pairs < 3 &&
+    while (pairs < 4 &&
         (deadline - System.nanoTime()) / 1e9 > pairWallSec) sigPair()
     val sec1 = secN.min
     val sec2 = sec4N.min
